@@ -1,0 +1,345 @@
+"""Mixed-scale Sparse Voxel Transformer backbone (flax, TPU-native).
+
+Behavioral rebuild of the reference backbone
+(ref: pcdet/models/backbones_3d/mssvt_backbone.py):
+
+- ``MsSVTBlock`` ≙ ``MixedScaleSparseTransformerBlock`` (:11-346)
+- ``MsSVTCompressBlock`` ≙ ``MixedScaleSparseTransformerCompressBlock`` (:349-398)
+- ``MixedScaleSparseTransformer`` ≙ the registered backbone (:401-472)
+
+TPU-native re-design highlights (see ops/window.py, ops/sampling.py):
+- dynamic (N, C) tensors + hash table → static-capacity SparseVoxels +
+  sorted-key index; the reference's per-batch python loops (with_bs_cnt
+  :124-130, scatter-back :313-336) collapse into single vectorized
+  gathers/scatters with global row indices.
+- the scatter-back "grad bug" workaround (:315-317) disappears: functional
+  updates have no aliasing.
+- attention runs as (num_windows, heads, nq, nk) batched einsums on the MXU.
+
+Capacity semantics: each block has a static ``max_windows`` (the reference
+hardcodes 90000, :56) and fixed per-buffer gather capacities; overflowing
+windows/voxels are dropped exactly like the reference's fixed-size CUDA
+buffers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...core.sparse import SparseVoxels
+from ...ops.sampling import (
+    farthest_point_sample,
+    gather_along_batch,
+    group_features,
+    three_interpolate,
+    three_nn,
+)
+from ...ops.window import build_query_tables, gather_window_voxels, window_partition
+from ..model_utils.attention import MixedScaleAttention
+from ..model_utils.layers import DropPath, PosProjection
+
+
+def _window_metric_centers(win_coords, voxel_size, win_size, point_cloud_range):
+    """Metric centers of windows ((idx + 0.5) * win_metric_size + pc_min).
+
+    Equivalent of ``with_coords`` applied to window indices with the
+    window-scaled voxel size (ref: mssvt_backbone.py:214-215,269).
+    """
+    ws = jnp.asarray(
+        [voxel_size[i] * win_size[i] for i in range(3)], jnp.float32
+    )
+    mins = jnp.asarray(point_cloud_range[:3], jnp.float32)
+    xyz = win_coords[:, [3, 2, 1]].astype(jnp.float32)
+    return (xyz + 0.5) * ws + mins
+
+
+def _fps_keys(ind, coord, key_num_sample):
+    """FPS-downsample a gathered buffer to ``key_num_sample`` keys per window.
+
+    Mirrors ref: mssvt_backbone.py:247-258 — FPS on the integer grid-offset
+    buffer (zero-padded), mask repeated selections of slot 0, then gather the
+    voxel rows and OR in emptiness of the gathered slots.
+    """
+    fps_idx = farthest_point_sample(coord.astype(jnp.float32), key_num_sample)
+    fps_mask = fps_idx == 0
+    fps_mask = fps_mask.at[:, 0].set(False)
+    k_ind = gather_along_batch(ind, fps_idx)
+    k_mask = fps_mask | (k_ind < 0)
+    return k_ind, k_mask, fps_idx
+
+
+class MsSVTBlock(nn.Module):
+    """One mixed-scale window-attention stage (resolution-preserving)."""
+
+    in_channels: int
+    ff_channels: int
+    out_channels: int
+    num_heads: Sequence[int]
+    window_size: Sequence[Sequence[int]]  # [win1] or [win1, win2]
+    max_windows: int
+    max_num_win1: Optional[int] = None
+    max_num_win2: Optional[int] = None
+    cbs_mode: str = "odd_even"
+    cbs_pattern: int = 1  # 0=even, 1=odd, 2=all-win1 queries (ref :220-234)
+    key_num_sample: int = 32
+    use_feature_interpolation: bool = True
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert len(self.window_size) == 2, "MsSVTBlock needs two window scales"
+        self.win1 = tuple(int(s) for s in self.window_size[0])
+        self.win2 = tuple(int(s) for s in self.window_size[1])
+        self.tables = build_query_tables(self.win1, self.win2, self.cbs_mode)
+        # default capacities = full window volume (ref :65-68)
+        self.cap1 = int(np.prod(self.win1)) if self.max_num_win1 is None else self.max_num_win1
+        self.cap2 = int(np.prod(self.win2)) if self.max_num_win2 is None else self.max_num_win2
+
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.ms_attn = MixedScaleAttention(
+            embed_dim=self.in_channels, num_heads=tuple(self.num_heads),
+            dropout=self.dropout, dtype=self.dtype,
+        )
+        self.pos_proj = PosProjection(self.in_channels, deep=False, dtype=self.dtype)
+        self.linear1 = nn.Dense(self.ff_channels, dtype=self.dtype)
+        self.linear2 = nn.Dense(self.in_channels, dtype=self.dtype)
+        self.dropout1 = nn.Dropout(self.dropout)
+        self.droppath = DropPath(self.drop_path)
+        if self.out_channels != self.in_channels:
+            self.out_linear = nn.Dense(self.out_channels, dtype=self.dtype)
+
+    def __call__(self, sp: SparseVoxels, deterministic: bool = True) -> SparseVoxels:
+        shortcut = sp.features  # (V, C)
+        x = self.norm1(shortcut)
+
+        win_coords, win_valid, _, _ = window_partition(
+            sp.coords, sp.valid, sp.spatial_shape, self.win1, self.max_windows
+        )
+        g = gather_window_voxels(
+            win_coords, win_valid, sp.index, sp.spatial_shape, self.win1,
+            self.tables, max_num_win1=self.cap1, max_num_win2=self.cap2,
+        )
+
+        q_name = {0: "even", 1: "odd", 2: "win1"}[self.cbs_pattern]
+        q = g[q_name]
+        win1b, win2b = g["win1"], g["win2"]
+
+        # --- FPS key selection per scale (ref :247-258)
+        k_ind1, k_mask1, _ = _fps_keys(win1b["ind"], win1b["coord"], self.key_num_sample)
+        k_ind2, k_mask2, _ = _fps_keys(win2b["ind"], win2b["coord"], self.key_num_sample)
+
+        # --- feature / coordinate gathers (ref :260-268)
+        q_fea = group_features(x, q["ind"])  # (NW, nq, C)
+        k_fea1 = group_features(x, k_ind1)  # (NW, nk, C)
+        k_fea2 = group_features(x, k_ind2)
+
+        vox_xyz = sp.metric_centers()  # (V, 3)
+        q_coord = group_features(vox_xyz, q["ind"])  # (NW, nq, 3)
+        win1_coord = group_features(vox_xyz, win1b["ind"])  # (NW, n1, 3)
+        k_coord1 = group_features(vox_xyz, k_ind1)
+        k_coord2 = group_features(vox_xyz, k_ind2)
+        win_center = _window_metric_centers(
+            win_coords, sp.voxel_size, self.win1, sp.point_cloud_range
+        )  # (NW, 3)
+
+        # --- relative positions, masked to zero (ref :271-276)
+        wc = win_center[:, None, :]
+        k_rel1 = (k_coord1 - wc) * (~k_mask1)[..., None]
+        k_rel2 = (k_coord2 - wc) * (~k_mask2)[..., None]
+        q_rel = (q_coord - wc) * (~q["mask"])[..., None]
+
+        # --- position embeddings (ref :278-282)
+        q_pos = self.pos_proj(jnp.concatenate(
+            [q_rel, jnp.broadcast_to(wc, q_rel.shape)], axis=-1))
+        k_rel = jnp.concatenate([k_rel1, k_rel2], axis=1)  # (NW, 2*nk, 3)
+        k_pos = self.pos_proj(jnp.concatenate(
+            [k_rel, jnp.broadcast_to(wc, k_rel.shape)], axis=-1))
+        q_fea = q_fea + q_pos
+        k_fea = jnp.concatenate([k_fea1, k_fea2], axis=1) + k_pos
+        k_mask = jnp.concatenate([k_mask1, k_mask2], axis=1)  # (NW, 2*nk)
+
+        # --- mixed-scale attention (ref :289-295)
+        attn_fea = self.ms_attn(
+            query=q_fea, keys=k_fea, query_mask=q["mask"], key_masks=k_mask,
+            deterministic=deterministic,
+        )  # (NW, nq, C)
+
+        # --- propagate to all win1 voxels by 3-NN inverse-distance
+        # interpolation (ref :297-310). Parity note: like the reference, the
+        # known set is NOT masked for padded query slots (their coords gather
+        # to zeros); their features are query-masked to ~0, so they dilute but
+        # do not corrupt.
+        if self.use_feature_interpolation:
+            d2, idx3 = three_nn(win1_coord, q_coord)
+            d2 = jnp.clip(d2, 1e-10, None)
+            w = 1.0 / d2
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+            win1_fea = three_interpolate(attn_fea, idx3, w)  # (NW, n1, C)
+            upd_ind, upd_fea = win1b["ind"], win1_fea
+        else:
+            upd_ind, upd_fea = q["ind"], attn_fea
+
+        # --- scatter back (replaces the per-batch loop, ref :313-336). Base
+        # is the ORIGINAL features (ref clones sp_tensor.features, :317).
+        v = sp.max_voxels
+        safe = jnp.where(upd_ind >= 0, upd_ind, v)
+        updated = shortcut.at[safe.reshape(-1)].set(
+            upd_fea.reshape(-1, upd_fea.shape[-1]).astype(shortcut.dtype), mode="drop"
+        )
+
+        # --- residual + FFN (ref :338-343)
+        new = self.droppath(updated, deterministic) + shortcut
+        act = self.linear2(self.dropout1(
+            nn.relu(self.linear1(self.norm2(new))), deterministic=deterministic))
+        new = new + self.droppath(
+            self.dropout1(act, deterministic=deterministic), deterministic)
+        if self.out_channels != self.in_channels:
+            new = self.out_linear(new)
+        new = new * sp.valid[:, None]  # keep padding rows exactly zero
+        return sp.with_features(new)
+
+
+class MsSVTCompressBlock(nn.Module):
+    """Downsampling stage: windows become the new voxels (ref :349-398)."""
+
+    in_channels: int
+    ff_channels: int
+    out_channels: int
+    num_heads: Sequence[int]
+    window_size: Sequence[Sequence[int]]  # [win1] only
+    max_windows: int
+    max_num_win1: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert len(self.window_size) == 1, "CompressBlock is single-scale"
+        self.win1 = tuple(int(s) for s in self.window_size[0])
+        self.tables = build_query_tables(self.win1)
+        self.cap1 = int(np.prod(self.win1)) if self.max_num_win1 is None else self.max_num_win1
+
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.ms_attn = MixedScaleAttention(
+            embed_dim=self.in_channels, num_heads=tuple(self.num_heads),
+            dropout=self.dropout, dtype=self.dtype,
+        )
+        self.pos_proj = PosProjection(self.in_channels, deep=True, dtype=self.dtype)
+        self.linear1 = nn.Dense(self.ff_channels, dtype=self.dtype)
+        self.linear2 = nn.Dense(self.in_channels, dtype=self.dtype)
+        self.dropout1 = nn.Dropout(self.dropout)
+        if self.out_channels != self.in_channels:
+            self.out_linear = nn.Dense(self.out_channels, dtype=self.dtype)
+
+    def __call__(self, sp: SparseVoxels, deterministic: bool = True) -> SparseVoxels:
+        x = self.norm1(sp.features)
+
+        win_coords, win_valid, win_grid, _ = window_partition(
+            sp.coords, sp.valid, sp.spatial_shape, self.win1, self.max_windows
+        )
+        g = gather_window_voxels(
+            win_coords, win_valid, sp.index, sp.spatial_shape, self.win1,
+            self.tables, max_num_win1=self.cap1,
+        )
+        k = g["win1"]
+
+        k_fea = group_features(x, k["ind"])  # (NW, ns, C)
+        vox_xyz = sp.metric_centers()
+        k_coord = group_features(vox_xyz, k["ind"])  # (NW, ns, 3)
+        q_center = _window_metric_centers(
+            win_coords, sp.voxel_size, self.win1, sp.point_cloud_range
+        )  # (NW, 3)
+
+        # query = max-pool over the window's gathered features (zero pads
+        # included — reference parity, ref :370-371)
+        q_fea = jnp.max(k_fea, axis=1, keepdims=True)  # (NW, 1, C)
+
+        # position embedding on keys only; the reference does NOT zero-mask
+        # relative coords here (ref :372-374)
+        k_rel = k_coord - q_center[:, None, :]
+        k_pos = self.pos_proj(jnp.concatenate(
+            [k_rel, jnp.broadcast_to(q_center[:, None, :], k_rel.shape)], axis=-1))
+        k_fea = k_fea + k_pos
+
+        attn = self.ms_attn(
+            query=q_fea, keys=k_fea, key_masks=k["mask"],
+            deterministic=deterministic,
+        )  # (NW, 1, C)
+        new = attn[:, 0, :]
+
+        act = self.linear2(self.dropout1(
+            nn.relu(self.linear1(self.norm2(new))), deterministic=deterministic))
+        new = new + self.dropout1(act, deterministic=deterministic)
+        if self.out_channels != self.in_channels:
+            new = self.out_linear(new)
+        new = new * win_valid[:, None]
+
+        new_voxel_size = tuple(
+            sp.voxel_size[i] * self.win1[i] for i in range(3)
+        )
+        return SparseVoxels.create(
+            features=new,
+            coords=win_coords,
+            valid=win_valid,
+            batch_size=sp.batch_size,
+            spatial_shape=win_grid,
+            voxel_size=new_voxel_size,
+            point_cloud_range=sp.point_cloud_range,
+        )
+
+
+class MixedScaleSparseTransformer(nn.Module):
+    """The registered MsSVT backbone (ref :401-472).
+
+    ``params_cfg`` is the list of per-block configs from MODEL.BACKBONE_3D
+    .PARAMS (same schema as the reference: name, channels=[in, ff, out],
+    num_heads, window_size, max_num_win1/2, cbs_mode, cbs_pattern,
+    key_num_sample, use_feature_interpolation, plus our static max_num_wins).
+    """
+
+    params_cfg: Sequence[dict]
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        n = len(self.params_cfg)
+        dpr = list(np.linspace(0.0, 0.3, max(n - 1, 1)))  # ref :414
+        blocks = []
+        for i, p in enumerate(self.params_cfg):
+            in_c, ff_c, out_c = p["channels"]
+            common = dict(
+                in_channels=in_c, ff_channels=ff_c, out_channels=out_c,
+                num_heads=tuple(p["num_heads"]),
+                window_size=tuple(tuple(w) for w in p["window_size"]),
+                max_windows=int(p.get("max_num_wins", 90000)),
+                dropout=self.dropout, dtype=self.dtype,
+            )
+            if p["name"] == "MixedScaleSparseTransformerBlock":
+                blocks.append(MsSVTBlock(
+                    **common,
+                    max_num_win1=p.get("max_num_win1"),
+                    max_num_win2=p.get("max_num_win2"),
+                    cbs_mode=p.get("cbs_mode", "odd_even"),
+                    cbs_pattern=int(p.get("cbs_pattern", 1)),
+                    key_num_sample=int(p.get("key_num_sample", 32)),
+                    use_feature_interpolation=bool(p.get("use_feature_interpolation", True)),
+                    drop_path=float(dpr[i]) if i < len(dpr) else 0.0,
+                ))
+            elif p["name"] == "MixedScaleSparseTransformerCompressBlock":
+                blocks.append(MsSVTCompressBlock(
+                    **common, max_num_win1=p.get("max_num_win1"),
+                ))
+            else:
+                raise NotImplementedError(p["name"])
+        self.blocks = blocks
+
+    def __call__(self, sp: SparseVoxels, deterministic: bool = True) -> SparseVoxels:
+        for block in self.blocks:
+            sp = block(sp, deterministic=deterministic)
+        return sp

@@ -1,0 +1,92 @@
+"""Mixed-scale head-group attention (flax).
+
+Behavioral equivalent of ``MixedScaleAttention``
+(ref: pcdet/models/model_utils/mssvt_utils.py:65-157): the embedding is split
+into head groups (one per window scale); group i attends with its own Q/KV
+projections over its own contiguous key slice (keys from different window
+scales are concatenated along the token axis). Key padding uses the
+reference's additive ``-100`` mask (not -inf) so fully-padded windows yield
+uniform — then query-masked-to-zero — attention instead of NaNs
+(ref: mssvt_utils.py:129-134).
+
+Differences from the reference (intentional):
+- batch-first only (we never use the seq-first layout internally).
+- softmax is applied unconditionally; the reference skips it when no key mask
+  is passed (mssvt_utils.py:129-134), but every live call site passes one.
+- einsum-based batched matmuls: (num_windows, heads, nq, nk) batched attention
+  maps directly onto the TPU MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+KEY_PAD_NEG = -100.0
+
+
+class MixedScaleAttention(nn.Module):
+    embed_dim: int
+    num_heads: Sequence[int]  # one entry per scale group
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (b, nq, C)
+        keys: jnp.ndarray,  # (b, tot_nk, C)
+        query_mask: Optional[jnp.ndarray] = None,  # (b, nq) True = PAD
+        key_masks: Optional[jnp.ndarray] = None,  # (b, tot_nk) True = PAD
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, nq, _ = query.shape
+        _, tot_nk, _ = keys.shape
+        groups = len(self.num_heads)
+        tot_heads = sum(self.num_heads)
+        assert self.embed_dim % tot_heads == 0, (self.embed_dim, tot_heads)
+        per_head = self.embed_dim // tot_heads
+        assert tot_nk % groups == 0
+        nk = tot_nk // groups
+        scale = per_head ** -0.5
+
+        outs = []
+        start = 0
+        for i, h in enumerate(self.num_heads):
+            sd = per_head * h
+            q = nn.Dense(sd, dtype=self.dtype, name=f"to_q_{i}")(
+                query[..., start : start + sd]
+            )
+            kv = nn.Dense(2 * sd, dtype=self.dtype, name=f"to_kv_{i}")(
+                keys[:, i * nk : (i + 1) * nk, start : start + sd]
+            )
+            k, v = jnp.split(kv, 2, axis=-1)
+
+            q = q.reshape(b, nq, h, per_head) * scale
+            k = k.reshape(b, nk, h, per_head)
+            v = v.reshape(b, nk, h, per_head)
+
+            attn = jnp.einsum("bqhc,bkhc->bhqk", q, k)
+            if key_masks is not None:
+                km = key_masks[:, i * nk : (i + 1) * nk]
+                attn = attn + jnp.where(km, KEY_PAD_NEG, 0.0)[:, None, None, :].astype(
+                    attn.dtype
+                )
+            attn = nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.dropout, name=f"attn_drop_{i}")(
+                attn, deterministic=deterministic
+            )
+            x = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(b, nq, sd)
+            x = nn.Dense(sd, dtype=self.dtype, name=f"proj_{i}")(x)
+            x = nn.Dropout(self.dropout, name=f"proj_drop_{i}")(
+                x, deterministic=deterministic
+            )
+            outs.append(x)
+            start += sd
+
+        out = jnp.concatenate(outs, axis=-1)
+        if query_mask is not None:
+            out = out * (~query_mask)[..., None].astype(out.dtype)
+        return out
