@@ -1,0 +1,124 @@
+"""End-to-end inference benchmark on the flagship MsSVT model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Scenario: Waymo-scale synthetic frame (grid 468x468x32 @ 0.32m voxels,
+~80k occupied voxels) through the full reconstructed mssvt.yaml stack
+(MeanVFE → 5-block MixedScaleSparseTransformer → HeightCompression →
+BaseBEVBackbone → CenterHead decode + rotated NMS), batch 1, bf16 off
+(fp32 first; dtype policy is a perf knob tracked separately).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md) and the north
+star is >=2x A100 fps. A100 end-to-end fps for MsSVT-class detectors is
+~8-15 fps (sec_per_example ~0.07-0.12s); we use 10 fps as the provisional
+reference point until the PyTorch reference is measured, so
+vs_baseline = fps / 10.0.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+PROVISIONAL_A100_FPS = 10.0
+
+
+def make_waymo_scale_scene(max_voxels, grid, seed=0):
+    """~80k occupied voxels with LiDAR-like radial density falloff."""
+    rng = np.random.default_rng(seed)
+    n_target = 80_000
+    # radial distribution: denser near sensor (center of xy grid)
+    r = np.abs(rng.normal(0, 0.35, n_target * 2)) * grid[0] / 2
+    theta = rng.uniform(0, 2 * np.pi, n_target * 2)
+    x = (grid[0] / 2 + r * np.cos(theta)).astype(np.int64)
+    y = (grid[1] / 2 + r * np.sin(theta)).astype(np.int64)
+    z = np.clip(rng.geometric(0.25, n_target * 2) - 1, 0, grid[2] - 1)
+    ok = (x >= 0) & (x < grid[0]) & (y >= 0) & (y < grid[1])
+    coords = np.unique(
+        np.stack([np.zeros_like(x[ok]), z[ok], y[ok], x[ok]], 1), axis=0
+    )[:max_voxels].astype(np.int32)
+    n = len(coords)
+    pad = np.full((max_voxels, 4), -1, np.int32)
+    pad[:n] = coords
+    valid = np.arange(max_voxels) < n
+    voxels = rng.normal(size=(max_voxels, 5, 5)).astype(np.float32) * valid[:, None, None]
+    num_points = np.minimum(rng.poisson(3, max_voxels) + 1, 5).astype(np.float32) * valid
+    return {
+        "voxels": voxels,
+        "voxel_num_points": num_points,
+        "voxel_coords": pad,
+        "voxel_valid": valid,
+    }, n
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mssvt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mssvt_tpu.config import cfg_from_yaml_file
+    from mssvt_tpu.models import build_network
+    from mssvt_tpu.utils.edict import EasyDict
+
+    cfg = EasyDict()
+    cfg_from_yaml_file(
+        str(Path(__file__).parent / "tools/cfgs/waymo_models/mssvt.yaml"), cfg
+    )
+
+    grid = (468, 468, 32)
+    voxel_size = (0.32, 0.32, 0.1875)
+    pc_range = (-74.88, -74.88, -2.0, 74.88, 74.88, 4.0)
+    max_voxels = 90_000
+
+    model = build_network(
+        model_cfg=cfg.MODEL, num_class=3,
+        class_names=["Vehicle", "Pedestrian", "Cyclist"],
+        grid_size=grid, voxel_size=voxel_size, point_cloud_range=pc_range,
+        batch_size=1, max_voxels=max_voxels, max_points_per_voxel=5,
+    )
+
+    batch, n_vox = make_waymo_scale_scene(max_voxels, grid)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    print(f"# scene: {n_vox} voxels, grid {grid}", file=sys.stderr)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
+    print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def infer(variables, batch):
+        out = model.apply(variables, batch, train=False)
+        return out["final_boxes"], out["final_scores"], out["final_mask"]
+
+    t0 = time.time()
+    jax.block_until_ready(infer(variables, batch))
+    print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    n_iter = 20
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = infer(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n_iter
+    fps = 1.0 / dt
+    print(f"# steady-state: {dt * 1000:.1f} ms/frame", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "e2e_inference_fps_single_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / PROVISIONAL_A100_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,7 @@ class MsSVTBlock(nn.Module):
     out_channels: int
     num_heads: Sequence[int]
     window_size: Sequence[Sequence[int]]  # [win1] or [win1, win2]
-    max_windows: int
+    max_windows: int  # per-sample cap; scaled by batch_size at call time
     max_num_win1: Optional[int] = None
     max_num_win2: Optional[int] = None
     cbs_mode: str = "odd_even"
@@ -119,7 +119,8 @@ class MsSVTBlock(nn.Module):
         x = self.norm1(shortcut)
 
         win_coords, win_valid, _, _ = window_partition(
-            sp.coords, sp.valid, sp.spatial_shape, self.win1, self.max_windows
+            sp.coords, sp.valid, sp.spatial_shape, self.win1,
+            self.max_windows * sp.batch_size,
         )
         g = gather_window_voxels(
             win_coords, win_valid, sp.index, sp.spatial_shape, self.win1,
@@ -213,7 +214,7 @@ class MsSVTCompressBlock(nn.Module):
     out_channels: int
     num_heads: Sequence[int]
     window_size: Sequence[Sequence[int]]  # [win1] only
-    max_windows: int
+    max_windows: int  # per-sample cap; scaled by batch_size at call time
     max_num_win1: Optional[int] = None
     dropout: float = 0.0
     dtype: Any = jnp.float32
@@ -241,7 +242,8 @@ class MsSVTCompressBlock(nn.Module):
         x = self.norm1(sp.features)
 
         win_coords, win_valid, win_grid, _ = window_partition(
-            sp.coords, sp.valid, sp.spatial_shape, self.win1, self.max_windows
+            sp.coords, sp.valid, sp.spatial_shape, self.win1,
+            self.max_windows * sp.batch_size,
         )
         g = gather_window_voxels(
             win_coords, win_valid, sp.index, sp.spatial_shape, self.win1,
@@ -310,6 +312,14 @@ class MixedScaleSparseTransformer(nn.Module):
     def setup(self):
         n = len(self.params_cfg)
         dpr = list(np.linspace(0.0, 0.3, max(n - 1, 1)))  # ref :414
+        # Input embedding: VFE features (e.g. 5-dim MeanVFE output) →
+        # first block channel width. The reference snapshot ships no config,
+        # so how it bridged the 5→128 gap is unrecoverable; an explicit input
+        # projection is the standard choice and keeps block widths MXU-sized.
+        self.input_proj = nn.Dense(
+            int(self.params_cfg[0]["channels"][0]), dtype=self.dtype,
+            name="input_proj",
+        )
         blocks = []
         for i, p in enumerate(self.params_cfg):
             in_c, ff_c, out_c = p["channels"]
@@ -317,7 +327,7 @@ class MixedScaleSparseTransformer(nn.Module):
                 in_channels=in_c, ff_channels=ff_c, out_channels=out_c,
                 num_heads=tuple(p["num_heads"]),
                 window_size=tuple(tuple(w) for w in p["window_size"]),
-                max_windows=int(p.get("max_num_wins", 90000)),
+                max_windows=int(p.get("max_num_wins", 90000)),  # per sample (ref hardcodes 90000, :56)
                 dropout=self.dropout, dtype=self.dtype,
             )
             if p["name"] == "MixedScaleSparseTransformerBlock":
@@ -340,6 +350,8 @@ class MixedScaleSparseTransformer(nn.Module):
         self.blocks = blocks
 
     def __call__(self, sp: SparseVoxels, deterministic: bool = True) -> SparseVoxels:
+        feats = self.input_proj(sp.features) * sp.valid[:, None]
+        sp = sp.with_features(feats)
         for block in self.blocks:
             sp = block(sp, deterministic=deterministic)
         return sp

@@ -1,0 +1,98 @@
+"""Detection losses (ref: pcdet/utils/loss_utils.py:9-385).
+
+All losses are pure jnp functions over padded, masked tensors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sigmoid_focal_cls_loss(pred_logits, target, weights, gamma=2.0, alpha=0.25):
+    """Sigmoid focal loss (ref: loss_utils.py:9-73). Returns per-anchor loss."""
+    pred_sigmoid = jnp.clip(jax_sigmoid(pred_logits), 1e-7, 1 - 1e-7)
+    alpha_weight = target * alpha + (1 - target) * (1 - alpha)
+    pt = target * (1.0 - pred_sigmoid) + (1.0 - target) * pred_sigmoid
+    focal_weight = alpha_weight * jnp.power(pt, gamma)
+    # numerically-stable BCE with logits
+    bce = jnp.clip(pred_logits, 0, None) - pred_logits * target + jnp.log1p(
+        jnp.exp(-jnp.abs(pred_logits))
+    )
+    loss = focal_weight * bce
+    return loss * weights[..., None] if weights is not None else loss
+
+
+def jax_sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def weighted_smooth_l1(pred, target, weights=None, beta=1.0 / 9.0, code_weights=None):
+    """Smooth-L1 (ref: loss_utils.py:75-137)."""
+    diff = pred - target
+    if code_weights is not None:
+        diff = diff * jnp.asarray(code_weights, diff.dtype)
+    n = jnp.abs(diff)
+    loss = jnp.where(n < beta, 0.5 * n ** 2 / beta, n - 0.5 * beta)
+    if weights is not None:
+        loss = loss * weights[..., None]
+    return loss
+
+
+def weighted_l1(pred, target, weights=None, code_weights=None):
+    diff = pred - target
+    if code_weights is not None:
+        diff = diff * jnp.asarray(code_weights, diff.dtype)
+    loss = jnp.abs(diff)
+    if weights is not None:
+        loss = loss * weights[..., None]
+    return loss
+
+
+def weighted_cross_entropy(pred_logits, target_onehot, weights):
+    """Per-anchor CE with one-hot targets (ref: loss_utils.py:181-207)."""
+    logp = pred_logits - jax_logsumexp(pred_logits)
+    loss = -(target_onehot * logp).sum(-1)
+    return loss * weights
+
+
+def jax_logsumexp(x):
+    m = jnp.max(x, axis=-1, keepdims=True)
+    return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
+
+
+def focal_loss_centernet(pred, gt):
+    """CornerNet focal loss on an already-sigmoided heatmap.
+
+    Ref: loss_utils.py:264-300 (``neg_loss_cornernet`` +
+    ``FocalLossCenterNet``): positives at gt==1, negative weights (1-gt)^4,
+    normalized by the number of positives.
+    """
+    pos_inds = (gt == 1.0).astype(pred.dtype)
+    neg_inds = (gt < 1.0).astype(pred.dtype)
+    neg_weights = jnp.power(1 - gt, 4)
+
+    pos_loss = jnp.log(pred) * jnp.power(1 - pred, 2) * pos_inds
+    neg_loss = jnp.log(1 - pred) * jnp.power(pred, 2) * neg_weights * neg_inds
+
+    num_pos = pos_inds.sum()
+    pos_loss = pos_loss.sum()
+    neg_loss = neg_loss.sum()
+    return jnp.where(num_pos == 0, -neg_loss, -(pos_loss + neg_loss) / jnp.clip(num_pos, 1.0))
+
+
+def reg_loss_centernet(pred_bhwc, mask, ind, target):
+    """Masked L1 regression at object centers.
+
+    Ref: loss_utils.py:330-385 (``RegLossCenterNet`` + ``_reg_loss``):
+    gather predictions at flat center indices, L1 against targets, normalized
+    per-channel by (num_pos + 1e-4). ``pred_bhwc`` is NHWC; returns a
+    per-code-dim loss vector (code_weights applied by the caller).
+    """
+    b, h, w, c = pred_bhwc.shape
+    flat = pred_bhwc.reshape(b, h * w, c)
+    pred = jnp.take_along_axis(flat, ind[..., None], axis=1)  # (B, M, c)
+    m = mask[..., None].astype(pred.dtype)
+    num = mask.astype(pred.dtype).sum()
+    loss = jnp.abs(pred * m - target * m)  # isnan guard unnecessary: targets finite
+    loss = loss.sum(axis=(0, 1)) / (num + 1e-4)
+    return loss  # (c,)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -29,6 +30,47 @@ class DropPath(nn.Module):
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
         return x * mask / keep
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the valid rows of a padded (V, C) feature array.
+
+    The reference applies BatchNorm1d to dynamic (N, C) sparse features
+    (spconv norm layers); with static padding the statistics must exclude
+    padding rows or they drift toward zero with occupancy.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, train: bool = False):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            w = valid.astype(jnp.float32)[:, None]
+            n = jnp.clip(w.sum(), 1.0)
+            mean = (x * w).sum(0) / n
+            var = ((x - mean) ** 2 * w).sum(0) / n
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y * valid[:, None]
 
 
 class PosProjection(nn.Module):

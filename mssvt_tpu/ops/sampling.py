@@ -103,7 +103,19 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, known_valid=None):
     d2 = jnp.sum(diff * diff, axis=-1)  # (B, n, m)
     if known_valid is not None:
         d2 = jnp.where(known_valid[:, None, :], d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, 3)
+    m = known.shape[1]
+    k_eff = min(3, m)
+    neg, idx = jax.lax.top_k(-d2, k_eff)
+    if k_eff < 3:
+        # fewer than 3 candidates: pad like the CUDA kernel's untouched slots
+        # (index 0, distance 1e40 — interpolate weight ~0 after normalization)
+        pad = 3 - k_eff
+        neg = jnp.concatenate(
+            [neg, jnp.full(neg.shape[:-1] + (pad,), -1e40, neg.dtype)], axis=-1
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1
+        )
     return -neg, idx.astype(jnp.int32)
 
 

@@ -1,0 +1,161 @@
+"""Sparse 3D convolution via sorted-key gather (spconv equivalent, TPU-native).
+
+The reference's secondary model families (SECOND, VoxelRCNN, PV-RCNN, PartA2)
+depend on the external ``spconv`` library
+(ref: pcdet/models/backbones_3d/spconv_backbone.py + utils/spconv_utils.py).
+spconv builds a "rulebook" (gather/scatter index pairs per kernel offset) with
+hash tables and runs gather→GEMM→scatter per offset. The TPU-native
+formulation here:
+
+- **Submanifold conv** (SubMConv3d): output sites = input sites. One lookup
+  of all (voxel, kernel-offset) neighbor keys against the sorted index →
+  neighbor row table (V, K); then a single
+  ``(V, K*Cin) @ (K*Cin, Cout)`` matmul per layer — an implicit GEMM that
+  feeds the MXU one large dense matmul instead of K small ones.
+- **Strided conv** (SparseConv3d): exact spconv output-site semantics — for
+  each input site, every output site whose kernel window covers it is
+  enumerated statically (≤ ceil(k/s) candidates per dim), deduplicated with
+  the same sort+prefix-sum compaction used for windows, then the neighbor
+  table is built by lookup from output sites.
+
+Both are deterministic, static-shape, and differentiable (gather/scatter-add
+gradients).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.index import VoxelIndex, build_index, linearize_coords, lookup
+from ..core.index import INVALID_KEY, delinearize_key, unique_compact
+
+
+def _kernel_offsets(kernel_size: Sequence[int]) -> np.ndarray:
+    """(K, 3) zyx offsets, row-major like spconv kernel layout."""
+    kz, ky, kx = kernel_size[2], kernel_size[1], kernel_size[0]
+    out = []
+    for z in range(kz):
+        for y in range(ky):
+            for x in range(kx):
+                out.append((z, y, x))
+    return np.asarray(out, np.int32)
+
+
+def build_subm_neighbor_table(coords, valid, index: VoxelIndex, spatial_shape,
+                              kernel_size=(3, 3, 3)):
+    """Neighbor rows (V, K) for a submanifold conv; -1 where absent.
+
+    The center offset maps to the site itself. Padding is implicit: -1
+    neighbors contribute zeros.
+    """
+    offs = _kernel_offsets(kernel_size)  # (K, 3) zyx, in [0, k)
+    k = offs.shape[0]
+    half = np.asarray(
+        [(kernel_size[2] - 1) // 2, (kernel_size[1] - 1) // 2,
+         (kernel_size[0] - 1) // 2], np.int32,
+    )  # zyx
+    rel = jnp.asarray(offs - half)  # centered
+    v = coords.shape[0]
+    nb = coords[:, None, 1:4] + rel[None, :, :]  # (V, K, 3) zyx
+    b = jnp.broadcast_to(coords[:, None, 0:1], (v, k, 1))
+    cand = jnp.concatenate([b, nb], axis=-1)
+    keys = linearize_coords(cand, spatial_shape, valid=valid[:, None])
+    return lookup(index, keys)  # (V, K)
+
+
+def subm_conv_apply(features, neighbor_rows, weights):
+    """Apply a submanifold conv given the neighbor table.
+
+    features: (V, Cin); neighbor_rows: (V, K); weights: (K, Cin, Cout).
+    Returns (V, Cout).
+    """
+    v, k = neighbor_rows.shape
+    cin = features.shape[1]
+    gathered = jnp.take(features, jnp.clip(neighbor_rows, 0), axis=0)
+    gathered = jnp.where((neighbor_rows >= 0)[..., None], gathered, 0)
+    return jnp.dot(
+        gathered.reshape(v, k * cin),
+        weights.reshape(k * cin, -1),
+        preferred_element_type=jnp.float32,
+    ).astype(features.dtype)
+
+
+def downsample_output_sites(coords, valid, spatial_shape, kernel_size, stride,
+                            padding, max_out: int):
+    """Exact spconv output-site set for a strided sparse conv.
+
+    For input site i (per dim): valid outputs o satisfy
+    ``0 <= i + p - o*s <= k-1``. We enumerate the static candidate set per
+    dim, form the cross product, and unique-compact.
+
+    Returns (out_coords (max_out, 4), out_valid, out_spatial_shape).
+    """
+    ks = list(kernel_size)
+    st = list(stride)
+    pd = list(padding)
+    x_max, y_max, z_max = (int(s) for s in spatial_shape)
+    out_shape = tuple(
+        (dim + 2 * pd[i] - ks[i]) // st[i] + 1
+        for i, dim in enumerate((x_max, y_max, z_max))
+    )
+    if any(s <= 0 for s in out_shape):
+        raise ValueError(
+            f"strided sparse conv collapses spatial shape {spatial_shape} -> "
+            f"{out_shape} (kernel {kernel_size}, stride {stride}, padding "
+            f"{padding}); increase the grid or adjust the layer"
+        )
+
+    # candidate output offsets per dim: o = (i + p - j) / s for j in [0, k)
+    # where divisible; equivalently enumerate d in [0, ceil(k/s)) with
+    # o = floor((i + p) / s) - d when the window still covers i.
+    n_cand = [int(np.ceil(ks[i] / st[i])) for i in range(3)]
+    cands = []
+    for dx in range(n_cand[0]):
+        for dy in range(n_cand[1]):
+            for dz in range(n_cand[2]):
+                cands.append((dz, dy, dx))
+    cands = np.asarray(cands, np.int32)  # (C, 3) zyx deltas
+
+    b = coords[:, 0:1]
+    izyx = coords[:, 1:4]
+    p_zyx = jnp.asarray([pd[2], pd[1], pd[0]])
+    s_zyx = jnp.asarray([st[2], st[1], st[0]])
+    k_zyx = jnp.asarray([ks[2], ks[1], ks[0]])
+    base = (izyx + p_zyx) // s_zyx  # (V, 3)
+    oz = base[:, None, :] - jnp.asarray(cands)[None, :, :]  # (V, C, 3)
+    # coverage check: 0 <= i + p - o*s <= k-1
+    j = (izyx + p_zyx)[:, None, :] - oz * s_zyx
+    cover = jnp.all((j >= 0) & (j <= k_zyx - 1), axis=-1)  # (V, C)
+    vb = jnp.broadcast_to(b[:, None, :], oz.shape[:2] + (1,))
+    cand_coords = jnp.concatenate([vb, oz], axis=-1)  # (V, C, 4)
+    keys = linearize_coords(
+        cand_coords, out_shape, valid=cover & valid[:, None]
+    ).reshape(-1)
+    out_keys, out_valid, _ = unique_compact(keys, max_out)
+    out_coords = delinearize_key(out_keys, out_shape)
+    return out_coords, out_valid, out_shape
+
+
+def build_strided_neighbor_table(
+    in_coords, in_valid, in_index: VoxelIndex, in_spatial_shape,
+    out_coords, out_valid, kernel_size, stride, padding,
+):
+    """Neighbor rows (V_out, K) into the INPUT feature array."""
+    ks = list(kernel_size)
+    st = list(stride)
+    pd = list(padding)
+    offs = _kernel_offsets(ks)  # (K, 3) zyx in [0, k)
+    k = offs.shape[0]
+    vo = out_coords.shape[0]
+
+    s_zyx = jnp.asarray([st[2], st[1], st[0]])
+    p_zyx = jnp.asarray([pd[2], pd[1], pd[0]])
+    # input coord = out*s - p + kernel_offset
+    nb = out_coords[:, None, 1:4] * s_zyx + jnp.asarray(offs)[None] - p_zyx
+    b = jnp.broadcast_to(out_coords[:, None, 0:1], (vo, k, 1))
+    cand = jnp.concatenate([b, nb], axis=-1)
+    keys = linearize_coords(cand, in_spatial_shape, valid=out_valid[:, None])
+    return lookup(in_index, keys)  # (V_out, K)

@@ -6,13 +6,24 @@ host-platform device virtualization.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient env sets up the axon TPU plugin whose sitecustomize
+# overrides jax_platforms via jax.config (env vars alone are NOT enough) —
+# tests need the virtual 8-device CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+# persistent compile cache makes repeated test runs dramatically faster
+jax.config.update("jax_compilation_cache_dir", "/tmp/mssvt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture

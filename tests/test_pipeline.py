@@ -1,0 +1,162 @@
+"""Data pipeline tests: voxelizer semantics, dataset → collate, loader."""
+
+import numpy as np
+import pytest
+
+from mssvt_tpu.datasets.loader import build_dataloader
+from mssvt_tpu.ops.voxelize import voxelize_points
+from mssvt_tpu.utils.edict import EasyDict
+
+VOXEL_SIZE = (0.5, 0.5, 0.5)
+PCR = (0.0, 0.0, 0.0, 4.0, 4.0, 2.0)
+
+
+def _oracle_voxelize(points, max_pts, max_vox):
+    """Sequential simulator of spconv VoxelGenerator semantics."""
+    voxels, coords, counts = [], [], []
+    vmap = {}
+    for p in points:
+        idx = tuple(int(np.floor((p[i] - PCR[i]) / VOXEL_SIZE[i])) for i in range(3))
+        grid = tuple(int(round((PCR[i + 3] - PCR[i]) / VOXEL_SIZE[i])) for i in range(3))
+        if not all(0 <= idx[i] < grid[i] for i in range(3)):
+            continue
+        if idx not in vmap:
+            if len(voxels) >= max_vox:
+                continue
+            vmap[idx] = len(voxels)
+            voxels.append(np.zeros((max_pts, points.shape[1]), np.float32))
+            coords.append((idx[2], idx[1], idx[0]))  # zyx
+            counts.append(0)
+        v = vmap[idx]
+        if counts[v] < max_pts:
+            voxels[v][counts[v]] = p
+            counts[v] += 1
+    return (
+        np.array(voxels, np.float32),
+        np.array(coords, np.int32),
+        np.array(counts, np.int32),
+    )
+
+
+def test_voxelizer_matches_spconv_semantics(rng):
+    pts = rng.uniform(-0.5, 4.5, (500, 5)).astype(np.float32)
+    for max_pts, max_vox in [(3, 1000), (2, 10), (5, 5)]:
+        v, c, n = voxelize_points(pts, VOXEL_SIZE, PCR, max_pts, max_vox)
+        ov, oc, on = _oracle_voxelize(pts, max_pts, max_vox)
+        np.testing.assert_array_equal(c, oc)
+        np.testing.assert_array_equal(n, on)
+        np.testing.assert_allclose(v, ov)
+
+
+def test_voxelizer_empty():
+    pts = np.full((10, 5), -100.0, np.float32)  # all out of range
+    v, c, n = voxelize_points(pts, VOXEL_SIZE, PCR, 5, 100)
+    assert len(v) == 0 and len(c) == 0
+
+
+def test_jax_voxelizer_equivalence(rng):
+    import jax.numpy as jnp
+
+    from mssvt_tpu.ops.voxelize import voxelize_points_jax
+
+    pts = rng.uniform(-0.5, 4.5, (300, 5)).astype(np.float32)
+    hv, hc, hn = voxelize_points(pts, VOXEL_SIZE, PCR, 4, 256)
+
+    pad = np.zeros((512, 5), np.float32)
+    pad[:300] = pts
+    valid = np.arange(512) < 300
+    jv, jc, jn, jm = voxelize_points_jax(
+        jnp.asarray(pad), jnp.asarray(valid), VOXEL_SIZE, PCR, 4, 256
+    )
+    jc, jn, jm = np.asarray(jc), np.asarray(jn), np.asarray(jm)
+    # same voxel set + same per-voxel counts (order differs: sorted vs appearance)
+    host = {tuple(c): n for c, n in zip(hc, hn)}
+    dev = {tuple(c[1:]): n for c, n in zip(jc[jm], jn[jm])}
+    assert host == dev
+    # per-voxel point MEANS must agree (MeanVFE invariance)
+    jv = np.asarray(jv)
+    for i in np.flatnonzero(jm):
+        key = tuple(jc[i][1:])
+        hidx = [k for k, c in enumerate(hc) if tuple(c) == key][0]
+        np.testing.assert_allclose(
+            jv[i].sum(0) / max(jn[i], 1), hv[hidx].sum(0) / max(hn[hidx], 1),
+            rtol=1e-5,
+        )
+
+
+def synthetic_cfg():
+    return EasyDict({
+        "DATASET": "SyntheticDataset",
+        "NUM_FRAMES": 6,
+        "POINTS_PER_FRAME": 3000,
+        "POINT_CLOUD_RANGE": [0.0, -9.6, -2.0, 19.2, 9.6, 2.0],
+        "MAX_GT_BOXES": 32,
+        "POINT_FEATURE_ENCODING": {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": ["x", "y", "z", "intensity"],
+            "src_feature_list": ["x", "y", "z", "intensity"],
+        },
+        "DATA_AUGMENTOR": {
+            "DISABLE_AUG_LIST": ["gt_sampling"],
+            "AUG_CONFIG_LIST": [
+                {"NAME": "gt_sampling", "DB_INFO_PATH": ["none.pkl"],
+                 "SAMPLE_GROUPS": [], "PREPARE": {}},
+                {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x", "y"]},
+                {"NAME": "random_world_rotation",
+                 "WORLD_ROT_ANGLE": [-0.785, 0.785]},
+                {"NAME": "random_world_scaling",
+                 "WORLD_SCALE_RANGE": [0.95, 1.05]},
+            ],
+        },
+        "DATA_PROCESSOR": [
+            {"NAME": "mask_points_and_boxes_outside_range",
+             "REMOVE_OUTSIDE_BOXES": True},
+            {"NAME": "shuffle_points",
+             "SHUFFLE_ENABLED": {"train": True, "test": False}},
+            {"NAME": "transform_points_to_voxels",
+             "VOXEL_SIZE": [0.4, 0.4, 0.5],
+             "MAX_POINTS_PER_VOXEL": 5,
+             "MAX_NUMBER_OF_VOXELS": {"train": 2000, "test": 2000}},
+        ],
+    })
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_dataset_and_collate(training):
+    dataset, loader = build_dataloader(
+        dataset_cfg=synthetic_cfg(), class_names=["Vehicle", "Pedestrian", "Cyclist"],
+        batch_size=2, training=training, workers=0, seed=0,
+    )
+    assert tuple(dataset.grid_size) == (48, 48, 8)
+    batches = list(iter(loader))
+    assert len(batches) == 3
+    b = batches[0]
+    cap = 2 * dataset.max_voxels
+    assert b["voxels"].shape == (cap, 5, 4)
+    assert b["voxel_coords"].shape == (cap, 4)
+    assert b["gt_boxes"].shape == (2, 32, 8)
+    # fixed per-sample slots
+    v = b["voxel_valid"]
+    c = b["voxel_coords"]
+    assert (c[: dataset.max_voxels][v[: dataset.max_voxels]][:, 0] == 0).all()
+    assert (c[dataset.max_voxels:][v[dataset.max_voxels:]][:, 0] == 1).all()
+    # coords in grid bounds
+    cc = c[v]
+    assert (cc[:, 1] < 8).all() and (cc[:, 2] < 48).all() and (cc[:, 3] < 48).all()
+    if training:
+        assert (b["gt_boxes"][:, :, -1].max() <= 3) and (b["gt_boxes"].sum() != 0)
+
+
+def test_loader_sharding():
+    dataset, loader0 = build_dataloader(
+        dataset_cfg=synthetic_cfg(), class_names=["Vehicle"],
+        batch_size=1, training=False, workers=0, rank=0, world_size=2,
+    )
+    _, loader1 = build_dataloader(
+        dataset_cfg=synthetic_cfg(), class_names=["Vehicle"],
+        batch_size=1, training=False, workers=0, rank=1, world_size=2,
+    )
+    f0 = [b["frame_id"][0] for b in loader0]
+    f1 = [b["frame_id"][0] for b in loader1]
+    assert not (set(f0) & set(f1))
+    assert len(f0) + len(f1) == 6

@@ -1,0 +1,149 @@
+"""Evaluation entry point (ref: tools/test.py:21-200).
+
+Single-checkpoint eval or --eval_all watch mode (polls the ckpt dir and
+evaluates new checkpoints as they appear, ref: test.py:86-132).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mssvt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from mssvt_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file, log_config_to_file
+from mssvt_tpu.datasets.loader import build_dataloader
+from mssvt_tpu.models import build_network
+from mssvt_tpu.parallel.mesh import make_mesh
+from mssvt_tpu.runtime.checkpoint import CheckpointManager
+from mssvt_tpu.runtime.eval_utils import eval_one_epoch
+from mssvt_tpu.utils.common import create_logger
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description="mssvt_tpu evaluation")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="checkpoint step to evaluate (default: latest)")
+    parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--eval_all", action="store_true")
+    parser.add_argument("--max_waiting_mins", type=int, default=30)
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = "/".join(Path(args.cfg_file).parts[-3:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def build(args, cfg_, logger, batch_size, mesh):
+    dataset, loader = build_dataloader(
+        dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
+        batch_size=batch_size, training=False, workers=args.workers,
+        logger=logger,
+    )
+    per_dev = batch_size // mesh.devices.size
+    model = build_network(
+        model_cfg=cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES),
+        class_names=cfg_.CLASS_NAMES, grid_size=dataset.grid_size,
+        voxel_size=dataset.voxel_size,
+        point_cloud_range=dataset.point_cloud_range,
+        batch_size=per_dev, max_voxels=dataset.max_voxels,
+        max_points_per_voxel=dataset.max_points_per_voxel,
+    )
+    return dataset, loader, model
+
+
+def init_variables(model, loader, mesh, batch_size):
+    from mssvt_tpu.parallel.mesh import shard_batch_for_mesh
+
+    init_batch = next(iter(loader))
+    sharded = shard_batch_for_mesh(init_batch, mesh, batch_size)
+    one_dev = jax.tree_util.tree_map(lambda x: x[0], sharded)
+    return jax.jit(
+        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), one_dev)
+
+
+def main():
+    args, cfg_ = parse_config()
+    batch_size = args.batch_size or cfg_.OPTIMIZATION.BATCH_SIZE_PER_GPU
+
+    output_dir = cfg_.ROOT_DIR / "output" / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
+    eval_dir = output_dir / "eval"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    log_file = eval_dir / (
+        "log_eval_%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    )
+    logger = create_logger(log_file)
+    log_config_to_file(cfg_, logger=logger)
+
+    mesh = make_mesh(args.num_devices)
+    dataset, loader, model = build(args, cfg_, logger, batch_size, mesh)
+    variables = init_variables(model, loader, mesh, batch_size)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    ckpt_dir = Path(args.ckpt_dir) if args.ckpt_dir else output_dir / "ckpt"
+    manager = CheckpointManager(ckpt_dir, logger=logger)
+    template = {"params": params, "batch_stats": batch_stats,
+                "opt_state": None, "epoch": 0, "it": 0}
+
+    def eval_ckpt(step):
+        state = manager.restore(step, template=None)
+        p = state["params"]
+        bs = state.get("batch_stats", batch_stats)
+        logger.info(f"*************** evaluating checkpoint step {step} ***************")
+        metrics, _ = eval_one_epoch(
+            model, p, bs, loader, mesh, cfg_.CLASS_NAMES,
+            logger=logger, result_dir=eval_dir / f"epoch_{step}",
+            save_to_file=args.save_to_file,
+        )
+        return metrics
+
+    if not args.eval_all:
+        step = int(args.ckpt) if args.ckpt else manager.latest_step()
+        assert step is not None, f"no checkpoint in {ckpt_dir}"
+        eval_ckpt(step)
+        return
+
+    # watch mode (ref: test.py:86-132)
+    evaluated = set()
+    record = eval_dir / "eval_list_val.txt"
+    if record.exists():
+        evaluated = {int(x) for x in record.read_text().split()}
+    wait_start = time.time()
+    while True:
+        todo = [s for s in manager.all_steps() if s not in evaluated]
+        if not todo:
+            if time.time() - wait_start > args.max_waiting_mins * 60:
+                logger.info("max waiting time reached, exiting")
+                break
+            time.sleep(30)
+            continue
+        wait_start = time.time()
+        for step in todo:
+            eval_ckpt(step)
+            evaluated.add(step)
+            with open(record, "a") as f:
+                f.write(f"{step}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Training entry point (ref: tools/train.py:23-210).
+
+Same CLI surface (cfg_file, batch_size, epochs, workers, extra_tag, ckpt,
+fix_random_seed, --set overrides, output dir layout
+output/EXP_GROUP/TAG/extra_tag/{ckpt,tensorboard}), TPU-native internals:
+jax data-parallel mesh over local devices instead of DDP/NCCL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mssvt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from mssvt_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file, log_config_to_file
+from mssvt_tpu.datasets.loader import build_dataloader
+from mssvt_tpu.models import build_network
+from mssvt_tpu.parallel.mesh import make_mesh
+from mssvt_tpu.runtime.checkpoint import CheckpointManager
+from mssvt_tpu.runtime.eval_utils import eval_one_epoch
+from mssvt_tpu.runtime.optimization import build_optimizer
+from mssvt_tpu.runtime.train_utils import train_model
+from mssvt_tpu.utils.common import create_logger, set_random_seed
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description="mssvt_tpu training")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--eval_after_train", action="store_true")
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = "/".join(Path(args.cfg_file).parts[-3:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg_ = parse_config()
+    if args.fix_random_seed:
+        set_random_seed(666)
+
+    batch_size = args.batch_size or cfg_.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    epochs = args.epochs or cfg_.OPTIMIZATION.NUM_EPOCHS
+
+    output_dir = cfg_.ROOT_DIR / "output" / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
+    ckpt_dir = output_dir / "ckpt"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    log_file = output_dir / (
+        "log_train_%s.txt" % datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    )
+    logger = create_logger(log_file)
+    logger.info("**********************Start logging**********************")
+    logger.info(f"devices: {jax.devices()}")
+    log_config_to_file(cfg_, logger=logger)
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb_log = SummaryWriter(log_dir=str(output_dir / "tensorboard"))
+    except ImportError:
+        tb_log = None
+
+    mesh = make_mesh(args.num_devices)
+    n_dev = mesh.devices.size
+    assert batch_size % n_dev == 0, (batch_size, n_dev)
+    per_dev = batch_size // n_dev
+
+    dataset, train_loader = build_dataloader(
+        dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
+        batch_size=batch_size, training=True, workers=args.workers,
+        logger=logger,
+    )
+
+    model = build_network(
+        model_cfg=cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES),
+        class_names=cfg_.CLASS_NAMES, grid_size=dataset.grid_size,
+        voxel_size=dataset.voxel_size,
+        point_cloud_range=dataset.point_cloud_range,
+        batch_size=per_dev, max_voxels=dataset.max_voxels,
+        max_points_per_voxel=dataset.max_points_per_voxel,
+    )
+
+    # init params with one host batch (sliced to one device's share)
+    init_batch = next(iter(train_loader))
+    from mssvt_tpu.parallel.mesh import shard_batch_for_mesh
+
+    sharded = shard_batch_for_mesh(init_batch, mesh, batch_size)
+    one_dev = jax.tree_util.tree_map(lambda x: x[0], sharded)
+    # jitted init: eager init dispatches thousands of one-off compiles
+    variables = jax.jit(
+        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), one_dev)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    logger.info(f"model parameters: {n_params / 1e6:.2f} M")
+
+    steps_per_epoch = len(train_loader)
+    total_steps = steps_per_epoch * epochs
+    tx, lr_fn = build_optimizer(cfg_.OPTIMIZATION, total_steps, steps_per_epoch)
+    opt_state = tx.init(params)
+
+    ckpt_manager = CheckpointManager(ckpt_dir, max_keep=args.max_ckpt_save_num,
+                                     logger=logger)
+    start_epoch, start_iter = 0, 0
+    latest = ckpt_manager.latest_step()
+    if latest is not None:  # auto-resume (ref: train.py:130-140)
+        state = ckpt_manager.restore(latest, template={
+            "params": params, "batch_stats": batch_stats,
+            "opt_state": opt_state, "epoch": 0, "it": 0,
+        })
+        params, batch_stats, opt_state = (
+            state["params"], state["batch_stats"], state["opt_state"]
+        )
+        start_epoch, start_iter = int(state["epoch"]), int(state["it"])
+        logger.info(f"auto-resumed from epoch {start_epoch}")
+
+    logger.info("**********************Start training**********************")
+    params, batch_stats, opt_state, it = train_model(
+        model, params, batch_stats, tx, opt_state, train_loader, mesh,
+        total_epochs=epochs, ckpt_manager=ckpt_manager,
+        ckpt_save_interval=args.ckpt_save_interval,
+        start_epoch=start_epoch, start_iter=start_iter,
+        lr_fn=lr_fn, logger=logger, tb_log=tb_log,
+    )
+    logger.info("**********************End training**********************")
+
+    if args.eval_after_train:
+        _, test_loader = build_dataloader(
+            dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
+            batch_size=batch_size, training=False, workers=args.workers,
+            logger=logger,
+        )
+        eval_one_epoch(
+            model, params, batch_stats, test_loader, mesh, cfg_.CLASS_NAMES,
+            logger=logger, result_dir=output_dir / "eval",
+        )
+
+
+if __name__ == "__main__":
+    main()
