@@ -64,7 +64,10 @@ int32_t voxelize(
     const int64_t ny = static_cast<int64_t>(std::llround((pc_range[4] - y0) / vy));
     const int64_t nz = static_cast<int64_t>(std::llround((pc_range[5] - z0) / vz));
 
-    HashMap map(static_cast<size_t>(max_voxels));
+    // Size the map by the number of points, not max_voxels: keys of voxels
+    // REJECTED by the max_voxels cap are also inserted (marked -2), so up to
+    // num_points distinct keys can live in the table.
+    HashMap map(static_cast<size_t>(num_points) + 16);
     int32_t num_voxels = 0;
 
     for (int64_t i = 0; i < num_points; ++i) {

@@ -57,6 +57,9 @@ class DatasetTemplate:
         self.max_voxels = self.data_processor.max_voxels
         self.max_points_per_voxel = self.data_processor.max_points_per_voxel
         self.max_gt_boxes = int(self.dataset_cfg.get("MAX_GT_BOXES", 500))
+        # raw points are carried through collation only when a model needs
+        # them (PV-RCNN / PointRCNN families); 0 disables (default)
+        self.max_points = int(self.dataset_cfg.get("MAX_POINTS", 0))
         self.depth_downsample_factor = None
 
     @property
@@ -146,6 +149,17 @@ class DatasetTemplate:
             "gt_boxes": gt,
             "batch_size": batch_size,
         }
+        if self.max_points > 0:
+            c_feat = batch_list[0]["points"].shape[-1]
+            pts = np.zeros((batch_size * self.max_points, c_feat), np.float32)
+            pts_valid = np.zeros((batch_size * self.max_points,), bool)
+            for i, d in enumerate(batch_list):
+                n = min(len(d["points"]), self.max_points)
+                lo = i * self.max_points
+                pts[lo:lo + n] = d["points"][:n]
+                pts_valid[lo:lo + n] = True
+            batch["points"] = pts
+            batch["points_valid"] = pts_valid
         extras = defaultdict(list)
         for d in batch_list:
             for k in ("frame_id", "metadata"):

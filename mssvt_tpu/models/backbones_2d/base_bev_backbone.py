@@ -78,7 +78,17 @@ class BaseBEVBackbone(nn.Module):
             else:
                 ups.append(x)
 
-        out = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+        if len(ups) > 1:
+            # odd input sizes make ConvTranspose overshoot by one pixel
+            # (59*2=118 vs 117); crop to the smallest map. The torch
+            # reference has the same constraint and simply requires even
+            # grids — the crop keeps odd grids usable.
+            min_h = min(u.shape[1] for u in ups)
+            min_w = min(u.shape[2] for u in ups)
+            ups = [u[:, :min_h, :min_w] for u in ups]
+            out = jnp.concatenate(ups, axis=-1)
+        else:
+            out = ups[0]
 
         if len(self.upsample_strides) > num_levels:
             s = self.upsample_strides[-1]

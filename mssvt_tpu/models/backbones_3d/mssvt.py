@@ -123,8 +123,9 @@ class MsSVTBlock(nn.Module):
             self.max_windows * sp.batch_size,
         )
         g = gather_window_voxels(
-            win_coords, win_valid, sp.index, sp.spatial_shape, self.win1,
-            self.tables, max_num_win1=self.cap1, max_num_win2=self.cap2,
+            win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
+            self.win1, self.tables, max_num_win1=self.cap1,
+            max_num_win2=self.cap2,
         )
 
         q_name = {0: "even", 1: "odd", 2: "win1"}[self.cbs_pattern]
@@ -246,8 +247,8 @@ class MsSVTCompressBlock(nn.Module):
             self.max_windows * sp.batch_size,
         )
         g = gather_window_voxels(
-            win_coords, win_valid, sp.index, sp.spatial_shape, self.win1,
-            self.tables, max_num_win1=self.cap1,
+            win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
+            self.win1, self.tables, max_num_win1=self.cap1,
         )
         k = g["win1"]
 

@@ -1,0 +1,199 @@
+"""PV-RCNN detector (ref: pcdet/models/detectors/pv_rcnn.py:4-56).
+
+SECOND backbone + VoxelSetAbstraction keypoints + PointHeadSimple foreground
+weighting + PVRCNNHead refinement. Requires the data config to carry raw
+points (``MAX_POINTS > 0``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.sparse import SparseVoxels
+from ...utils.box_coder import ResidualCoder
+from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
+from ..backbones_3d.pfe import VoxelSetAbstraction
+from ..backbones_3d.spconv_backbone import VoxelBackBone8x
+from ..backbones_3d.vfe import MeanVFE
+from ..dense_heads.anchor_head import AnchorHeadSingle
+from ..dense_heads.point_head import PointHeadSimple, assign_point_targets
+from ..roi_heads.pvrcnn_head import PVRCNNHead
+from ..roi_heads.roi_head_template import (
+    assign_proposal_targets,
+    proposal_layer,
+    roi_box_loss,
+    roi_cls_loss,
+)
+
+
+class PVRCNN(nn.Module):
+    model_cfg: Any
+    num_class: int
+    class_names: Sequence[str]
+    grid_size: Sequence[int]
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    batch_size: int
+    max_voxels: int
+    max_points_per_voxel: int
+    max_points: int = 16384  # per-sample raw point capacity
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.model_cfg
+        self.vfe = MeanVFE(num_point_features=0)
+        b3d = cfg["BACKBONE_3D"]
+        self.backbone_3d = VoxelBackBone8x(
+            input_capacity=self.max_voxels * self.batch_size,
+            num_filters=tuple(b3d.get("NUM_FILTERS", [16, 32, 64, 64])),
+            out_channels=int(b3d.get("OUT_CHANNELS", 128)),
+            dtype=self.dtype,
+        )
+        b2d = cfg["BACKBONE_2D"]
+        self.backbone_2d = BaseBEVBackbone(
+            layer_nums=tuple(b2d["LAYER_NUMS"]),
+            layer_strides=tuple(b2d["LAYER_STRIDES"]),
+            num_filters=tuple(b2d["NUM_FILTERS"]),
+            upsample_strides=tuple(b2d.get("UPSAMPLE_STRIDES", [])),
+            num_upsample_filters=tuple(b2d.get("NUM_UPSAMPLE_FILTERS", [])),
+            dtype=self.dtype,
+        )
+        self.dense_head = AnchorHeadSingle(
+            model_cfg=cfg["DENSE_HEAD"],
+            input_channels=self.backbone_2d.num_bev_features,
+            num_class=self.num_class,
+            class_names=tuple(self.class_names),
+            grid_size=tuple(self.grid_size),
+            point_cloud_range=tuple(self.point_cloud_range),
+            dtype=self.dtype,
+        )
+        pfe_cfg = cfg["PFE"]
+        self.pfe = VoxelSetAbstraction(
+            model_cfg=pfe_cfg,
+            voxel_size=tuple(self.voxel_size),
+            point_cloud_range=tuple(self.point_cloud_range),
+            num_keypoints=int(pfe_cfg.get("NUM_KEYPOINTS", 2048)),
+            dtype=self.dtype,
+        )
+        self.point_head = PointHeadSimple(
+            model_cfg=cfg["POINT_HEAD"],
+            input_channels=int(pfe_cfg["NUM_OUTPUT_FEATURES"]),
+            dtype=self.dtype,
+        )
+        self.roi_head = PVRCNNHead(
+            model_cfg=cfg["ROI_HEAD"],
+            input_channels=int(pfe_cfg["NUM_OUTPUT_FEATURES"]),
+            dtype=self.dtype,
+        )
+        self.roi_cfg = cfg["ROI_HEAD"]
+        self.coder = ResidualCoder()
+
+    def _per_sample_points(self, batch):
+        """(B*P, C) flat points → (B, P, 3), (B, P, C-3), (B, P)."""
+        pts = batch["points"].reshape(self.batch_size, self.max_points, -1)
+        valid = batch["points_valid"].reshape(self.batch_size, self.max_points)
+        xyz = pts[..., :3] * valid[..., None]
+        feat = pts[..., 3:] * valid[..., None]
+        return xyz, feat, valid
+
+    def __call__(self, batch, train: bool = False):
+        voxel_features = self.vfe(batch["voxels"], batch["voxel_num_points"])
+        sp = SparseVoxels.create(
+            features=voxel_features, coords=batch["voxel_coords"],
+            valid=batch["voxel_valid"], batch_size=self.batch_size,
+            spatial_shape=self.grid_size, voxel_size=self.voxel_size,
+            point_cloud_range=self.point_cloud_range,
+        )
+        sp_out = self.backbone_3d(sp, train=train)
+        bev = self.backbone_2d(sp_out.bev(), train=train)
+        preds = self.dense_head(bev, train=train)
+        boxes, scores_mc = self.dense_head.generate_predicted_boxes(preds)
+        scores = jnp.max(scores_mc, axis=-1)
+        labels = jnp.argmax(scores_mc, axis=-1) + 1
+
+        # keypoint branch: final sparse stage voxel centers as the source
+        # (multi-stage sources can be added by exposing intermediate stages)
+        xyz, feat, pvalid = self._per_sample_points(batch)
+        vox_xyz = sp_out.metric_centers().reshape(self.batch_size, -1, 3)
+        vox_feat = sp_out.features.reshape(self.batch_size, -1,
+                                           sp_out.features.shape[-1])
+        vox_valid = sp_out.valid.reshape(self.batch_size, -1)
+        keypoints, kp_feat, _ = self.pfe(
+            xyz, feat if feat.shape[-1] else None, pvalid,
+            sources={"x_conv_out": (vox_xyz, vox_feat, vox_valid)},
+            bev_features=bev, bev_stride=8, train=train,
+        )
+        kp_cls = self.point_head(kp_feat, train=train)  # (B, K, 1)
+        # foreground-weighted keypoint features (ref: pv_rcnn predicted
+        # keypoint weighting module)
+        kp_feat = kp_feat * jax.nn.sigmoid(kp_cls)
+
+        nms_cfg = self.roi_cfg["NMS_CONFIG"]["TRAIN" if train else "TEST"]
+        rois, roi_scores, roi_labels, roi_valid = proposal_layer(
+            boxes[..., :7], scores, jnp.ones_like(scores, bool),
+            nms_pre=int(nms_cfg["NMS_PRE_MAXSIZE"]),
+            nms_post=int(nms_cfg["NMS_POST_MAXSIZE"]),
+            nms_thresh=float(nms_cfg["NMS_THRESH"]),
+            labels=labels,
+        )
+
+        out = {"pred_dicts": preds}
+        if train:
+            tcfg = self.roi_cfg["TARGET_CONFIG"]
+            targets = assign_proposal_targets(
+                rois, roi_valid, batch["gt_boxes"],
+                roi_per_image=int(tcfg.get("ROI_PER_IMAGE", 128)),
+                fg_thresh=float(tcfg.get("REG_FG_THRESH", 0.55)),
+                bg_thresh_hi=float(tcfg.get("CLS_BG_THRESH", 0.55)),
+                bg_thresh_lo=float(tcfg.get("CLS_BG_THRESH_LO", 0.1)),
+                fg_ratio=float(tcfg.get("FG_RATIO", 0.5)),
+            )
+            cls_logits, reg = self.roi_head(
+                keypoints, kp_feat, targets["rois"],
+                targets["reg_valid"] | (targets["cls_labels"] >= 0), train=train,
+            )
+            rcnn_cls = roi_cls_loss(cls_logits, targets["cls_labels"])
+            rcnn_reg = roi_box_loss(
+                reg, targets["gt_of_rois"], targets["rois"], targets["reg_valid"],
+            )
+            pt_labels, _ = assign_point_targets(
+                keypoints, jnp.ones(keypoints.shape[:2], bool), batch["gt_boxes"],
+            )
+            pt_loss = PointHeadSimple.get_loss(kp_cls, pt_labels)
+            rpn_targets = self.dense_head.assign_targets(batch["gt_boxes"])
+            rpn_loss, tb = self.dense_head.get_loss(preds, rpn_targets)
+            loss = rpn_loss + rcnn_cls + rcnn_reg + pt_loss
+            tb.update({
+                "rcnn_loss_cls": rcnn_cls, "rcnn_loss_reg": rcnn_reg,
+                "point_loss_cls": pt_loss,
+            })
+            out["loss"] = loss
+            out["tb_dict"] = tb
+        else:
+            cls_logits, reg = self.roi_head(keypoints, kp_feat, rois, roi_valid,
+                                            train=False)
+            anchor = jnp.concatenate([
+                jnp.zeros_like(rois[..., :3]), rois[..., 3:6],
+                jnp.zeros_like(rois[..., 6:7]),
+            ], axis=-1)
+            local = self.coder.decode(reg, anchor)
+            h = rois[..., 6]
+            c, s = jnp.cos(h), jnp.sin(h)
+            gx = local[..., 0] * c - local[..., 1] * s + rois[..., 0]
+            gy = local[..., 0] * s + local[..., 1] * c + rois[..., 1]
+            refined = jnp.stack([
+                gx, gy, local[..., 2] + rois[..., 2],
+                local[..., 3], local[..., 4], local[..., 5],
+                local[..., 6] + h,
+            ], axis=-1)
+            out.update({
+                "final_boxes": refined * roi_valid[..., None],
+                "final_scores": jax.nn.sigmoid(cls_logits) * roi_valid,
+                "final_labels": roi_labels,
+                "final_mask": roi_valid,
+            })
+        return out

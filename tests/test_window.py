@@ -153,14 +153,15 @@ def test_gather_matches_oracle(rng, two_scale):
         tables = build_query_tables(WIN1, WIN2)
         caps = {"odd": tables.num_odd, "even": tables.num_even, "win1": 20, "win2": 40}
         got = gather_window_voxels(
-            win_coords, win_valid, index, SHAPE, WIN1, tables,
-            max_num_win1=20, max_num_win2=40,
+            win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
+            SHAPE, WIN1, tables, max_num_win1=20, max_num_win2=40,
         )
     else:
         tables = build_query_tables(WIN1)
         caps = {"win1": 16}
         got = gather_window_voxels(
-            win_coords, win_valid, index, SHAPE, WIN1, tables, max_num_win1=16
+            win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
+            SHAPE, WIN1, tables, max_num_win1=16,
         )
 
     wc = np.asarray(win_coords)[np.asarray(win_valid)]
