@@ -52,7 +52,16 @@ class Loader:
 
     def _make_batch(self, batch_idx):
         samples = [self.dataset[int(i)] for i in batch_idx]
-        return self.dataset.collate_batch(samples)
+        n_real = len(samples)
+        # static-shape discipline: a partial final batch (drop_last=False,
+        # e.g. eval splits not divisible by batch_size) is padded by
+        # repeating the last sample; `n_real` lets consumers skip the pads
+        # (ref crash mode: eval_utils indexing gt[b] past len(batch_list))
+        while len(samples) < self.batch_size:
+            samples.append(samples[-1])
+        batch = self.dataset.collate_batch(samples)
+        batch["n_real"] = n_real
+        return batch
 
     def __iter__(self):
         idx, steps = self._indices()

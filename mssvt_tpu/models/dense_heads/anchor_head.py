@@ -25,12 +25,17 @@ def generate_anchors(anchor_configs, grid_size, point_cloud_range,
                      feature_map_stride):
     """Dense anchor grid (ref: anchor_generator.py:4-79).
 
-    Returns (num_anchors, 7) float32 and per-class slices metadata. Anchor
-    layout: [y, x, size, rot] row-major per class, matching the reference's
-    view(-1, 7) ordering of (z, y, x, num_sizes, num_rots).
+    Returns (num_anchors, 7) float32 and anchors-per-location per class.
+
+    Layout is **location-major**: for each BEV cell (y, x) the anchors are
+    the per-location block [class][height][size][rotation], and cells are
+    row-major over (y, x). This matches the conv-head channel layout — the
+    (B, H, W, apl*code) prediction maps reshape to (B, H*W*apl, code) — and
+    the reference's ``torch.cat(anchors, dim=-3).view(-1, 7)`` ordering
+    (ref: anchor_head_template.py get_box_reg_layer_loss).
     """
-    all_anchors = []
-    num_per_class = []
+    per_class = []   # each (ny, nx, k_c, 7)
+    counts = []      # anchors-per-location per class
     pcr = np.asarray(point_cloud_range, np.float64)
     nx = grid_size[0] // feature_map_stride
     ny = grid_size[1] // feature_map_stride
@@ -51,21 +56,22 @@ def generate_anchors(anchor_configs, grid_size, point_cloud_range,
 
         xs = np.arange(nx) * x_stride + pcr[0] + x_offset
         ys = np.arange(ny) * y_stride + pcr[1] + y_offset
+        gx, gy = np.meshgrid(xs, ys)  # (ny, nx)
+        anchors_k = []
         for h in heights:
             for s in sizes:
                 for r in rotations:
-                    gx, gy = np.meshgrid(xs, ys)  # (ny, nx)
                     z = h + s[2] / 2
                     a = np.stack([
-                        gx.ravel(), gy.ravel(), np.full(gx.size, z),
-                        np.full(gx.size, s[0]), np.full(gx.size, s[1]),
-                        np.full(gx.size, s[2]), np.full(gx.size, r),
-                    ], axis=1)
-                    all_anchors.append(a)
-        num_per_class.append(
-            len(heights) * len(sizes) * len(rotations) * nx * ny
-        )
-    return np.concatenate(all_anchors, axis=0).astype(np.float32), num_per_class
+                        gx, gy, np.full(gx.shape, z),
+                        np.full(gx.shape, s[0]), np.full(gx.shape, s[1]),
+                        np.full(gx.shape, s[2]), np.full(gx.shape, r),
+                    ], axis=-1)  # (ny, nx, 7)
+                    anchors_k.append(a)
+        per_class.append(np.stack(anchors_k, axis=2))  # (ny, nx, k_c, 7)
+        counts.append(len(anchors_k))
+    all_a = np.concatenate(per_class, axis=2)  # (ny, nx, sum_k, 7)
+    return all_a.reshape(-1, 7).astype(np.float32), counts
 
 
 def _nearest_bev_iou(boxes_a, boxes_b):
@@ -160,21 +166,23 @@ class AnchorHeadSingle(nn.Module):
         self.use_dir = cfg.get("USE_DIRECTION_CLASSIFIER", False)
         anchor_cfgs = cfg["ANCHOR_GENERATOR_CONFIG"]
         stride = int(anchor_cfgs[0].get("feature_map_stride", 8))
-        anchors_np, nums = generate_anchors(
+        anchors_np, counts = generate_anchors(
             anchor_cfgs, self.grid_size, self.point_cloud_range, stride
         )
         self.anchors = jnp.asarray(anchors_np)
-        cls_ids, m_th, u_th = [], [], []
-        for ci, (acfg, n_a) in enumerate(zip(anchor_cfgs, nums)):
-            cls_ids += [ci] * n_a
-            m_th += [float(acfg["matched_threshold"])] * n_a
-            u_th += [float(acfg["unmatched_threshold"])] * n_a
-        self.anchor_class_ids = jnp.asarray(np.array(cls_ids, np.int32))
-        self.matched_th = jnp.asarray(np.array(m_th, np.float32))
-        self.unmatched_th = jnp.asarray(np.array(u_th, np.float32))
-        self.anchors_per_loc = len(anchor_cfgs) * len(
-            anchor_cfgs[0]["anchor_sizes"]
-        ) * len(anchor_cfgs[0]["anchor_rotations"])
+        # per-location [class][height][size][rot] pattern, tiled over cells
+        # (must mirror generate_anchors' location-major layout)
+        loc_cls, loc_m, loc_u = [], [], []
+        for ci, (acfg, k_c) in enumerate(zip(anchor_cfgs, counts)):
+            loc_cls += [ci] * k_c
+            loc_m += [float(acfg["matched_threshold"])] * k_c
+            loc_u += [float(acfg["unmatched_threshold"])] * k_c
+        n_loc = anchors_np.shape[0] // len(loc_cls)
+        self.anchor_class_ids = jnp.asarray(
+            np.tile(np.array(loc_cls, np.int32), n_loc))
+        self.matched_th = jnp.asarray(np.tile(np.array(loc_m, np.float32), n_loc))
+        self.unmatched_th = jnp.asarray(np.tile(np.array(loc_u, np.float32), n_loc))
+        self.anchors_per_loc = int(sum(counts))
 
         self.box_coder = ResidualCoder(
             code_size=7,
@@ -222,8 +230,31 @@ class AnchorHeadSingle(nn.Module):
         return {"box_cls_labels": labels, "box_reg_targets": reg_targets,
                 "reg_weights": reg_weights}
 
+    @staticmethod
+    def add_sin_difference(boxes1, boxes2, dim=6):
+        """sin(a-b) trick on the heading channel (ref: template :171-178)."""
+        rad_a = jnp.sin(boxes1[..., dim:dim + 1]) * jnp.cos(boxes2[..., dim:dim + 1])
+        rad_b = jnp.cos(boxes1[..., dim:dim + 1]) * jnp.sin(boxes2[..., dim:dim + 1])
+        b1 = jnp.concatenate(
+            [boxes1[..., :dim], rad_a, boxes1[..., dim + 1:]], axis=-1)
+        b2 = jnp.concatenate(
+            [boxes2[..., :dim], rad_b, boxes2[..., dim + 1:]], axis=-1)
+        return b1, b2
+
+    def get_direction_target(self, reg_targets, dir_offset):
+        """Heading bin targets from encoded residuals (ref: template :181-196)."""
+        rot_gt = reg_targets[..., 6] + self.anchors[None, :, 6]
+        period = 2 * np.pi / self.num_dir_bins
+        offset_rot = jnp.remainder(rot_gt - dir_offset, 2 * np.pi)
+        dir_cls = jnp.clip(
+            jnp.floor(offset_rot / period).astype(jnp.int32),
+            0, self.num_dir_bins - 1,
+        )
+        return dir_cls
+
     def get_loss(self, preds, targets):
-        """Ref: anchor_head_template.py:136-260."""
+        """Ref: anchor_head_template.py:136-260 (incl. sin-difference on the
+        heading residual and the direction-classifier CE, :171-233)."""
         lw = self.model_cfg["LOSS_CONFIG"]["LOSS_WEIGHTS"]
         labels = targets["box_cls_labels"]  # (B, N)
         cls_preds = preds["cls_preds"]  # (B, N, C)
@@ -244,14 +275,33 @@ class AnchorHeadSingle(nn.Module):
         ).sum() / labels.shape[0] * float(lw["cls_weight"])
 
         reg_weights = targets["reg_weights"]
+        reg_targets = targets["box_reg_targets"]
+        box_preds_l, reg_targets_l = box_preds, reg_targets
+        if self.box_coder.code_size == 7 and not self.box_coder.encode_angle_by_sincos:
+            box_preds_l, reg_targets_l = self.add_sin_difference(
+                box_preds, reg_targets)
         loc_loss = weighted_smooth_l1(
-            box_preds, targets["box_reg_targets"], reg_weights,
+            box_preds_l, reg_targets_l, reg_weights,
             code_weights=lw.get("code_weights"),
         ).sum() / labels.shape[0] * float(lw["loc_weight"])
 
         total = cls_loss + loc_loss
-        tb = {"rpn_loss_cls": cls_loss, "rpn_loss_loc": loc_loss,
-              "rpn_loss": total}
+        tb = {"rpn_loss_cls": cls_loss, "rpn_loss_loc": loc_loss}
+
+        if self.use_dir and "dir_cls_preds" in preds:
+            dir_offset = float(self.model_cfg.get("DIR_OFFSET", 0.78539))
+            dir_targets = self.get_direction_target(reg_targets, dir_offset)
+            dir_onehot = jax.nn.one_hot(
+                dir_targets, self.num_dir_bins, dtype=jnp.float32)
+            dir_w = positives.astype(jnp.float32)
+            dir_w = dir_w / jnp.clip(dir_w.sum(axis=-1, keepdims=True), 1.0)
+            dir_loss = weighted_cross_entropy(
+                preds["dir_cls_preds"], dir_onehot, dir_w
+            ).sum() / labels.shape[0] * float(lw.get("dir_weight", 0.2))
+            total = total + dir_loss
+            tb["rpn_loss_dir"] = dir_loss
+
+        tb["rpn_loss"] = total
         return total, tb
 
     def generate_predicted_boxes(self, preds):

@@ -12,10 +12,26 @@ __all__ = {
 }
 
 
+_DTYPE_NAMES = {
+    "float32": "float32", "fp32": "float32",
+    "bfloat16": "bfloat16", "bf16": "bfloat16",
+    "float16": "bfloat16",  # fp16 has no TPU advantage; map to bf16
+}
+
+
 def build_detector(model_cfg, num_class, class_names, grid_size, voxel_size,
                    point_cloud_range, batch_size, max_voxels, max_points_per_voxel):
-    """Registry-based detector construction (ref: detectors/__init__.py:30-35)."""
+    """Registry-based detector construction (ref: detectors/__init__.py:30-35).
+
+    ``MODEL.DTYPE: bfloat16`` enables the mixed-precision compute policy —
+    the TPU-native analog of the reference's AMP autocast (ref:
+    tools/train.py:152-156): module compute runs in bf16, params and losses
+    stay fp32 (flax ``dtype=`` semantics).
+    """
+    import jax.numpy as jnp
+
     cls = __all__[model_cfg["NAME"]]
+    dtype = jnp.dtype(_DTYPE_NAMES[str(model_cfg.get("DTYPE", "float32")).lower()])
     return cls(
         model_cfg=model_cfg,
         num_class=num_class,
@@ -26,4 +42,5 @@ def build_detector(model_cfg, num_class, class_names, grid_size, voxel_size,
         batch_size=int(batch_size),
         max_voxels=int(max_voxels),
         max_points_per_voxel=int(max_points_per_voxel),
+        dtype=dtype,
     )

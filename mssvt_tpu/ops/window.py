@@ -250,6 +250,14 @@ def gather_window_voxels(
     # it touches all 15.5M window-offset cells, the sort only the ~810k
     # candidates.)
     big = jnp.iinfo(jnp.int32).max
+    # static capacity check (mirrors _check_key_capacity for voxel keys):
+    # nw and k_total are trace-time constants, so this is free at runtime
+    if nw * k_total >= big:
+        raise ValueError(
+            f"window entry keys overflow int32: max_windows={nw} x "
+            f"k_total={k_total} = {nw * k_total} >= 2**31-1; reduce "
+            "max_num_wins or the win2 table size"
+        )
     entry_key = jnp.where(ok, win_row * k_total + jnp.clip(k, 0), big).reshape(-1)
     order = jnp.argsort(entry_key)
     s_key = entry_key[order]

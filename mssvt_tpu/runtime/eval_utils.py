@@ -41,7 +41,8 @@ def eval_one_epoch(
         labels = np.asarray(labels).reshape(batch_size, -1)
         mask = np.asarray(mask).reshape(batch_size, -1)
         gt = batch["gt_boxes"]
-        for b in range(batch_size):
+        n_real = int(batch.get("n_real", batch_size))
+        for b in range(n_real):
             m = mask[b]
             det_frames.append({
                 "boxes": boxes[b][m][:, :7],
