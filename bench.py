@@ -71,6 +71,9 @@ def main():
     cfg_from_yaml_file(
         str(Path(__file__).parent / "tools/cfgs/waymo_models/mssvt.yaml"), cfg
     )
+    if "--fp32" in sys.argv:
+        cfg.MODEL.pop("DTYPE", None)
+        print("# fp32 override", file=sys.stderr)
 
     grid = (480, 480, 32)
     voxel_size = (0.32, 0.32, 0.1875)

@@ -127,6 +127,60 @@ def lookup(index: VoxelIndex, query_keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(found, index.sorted_rows[pos], -1).astype(jnp.int32)
 
 
+def unique_compact_dense(keys: jnp.ndarray, capacity: int, n_cells: int):
+    """Sort-free :func:`unique_compact` for small, bounded key spaces.
+
+    When every valid key lies in [0, n_cells) and n_cells is modest (window
+    grids: grid volume / window volume), dedup is a dense occupancy scatter
+    + cumsum compaction — no sort. XLA's TPU sort is a bitonic network and
+    was the dominant cost of the round-1 backbone; this path is pure
+    VPU scans + unique-index scatters. Output semantics identical to
+    ``unique_compact`` (ascending unique keys, INVALID_KEY padding).
+    """
+    n = keys.shape[0]
+    safe = jnp.where(keys != INVALID_KEY, keys,
+                     n_cells + jnp.arange(n, dtype=keys.dtype))
+    occ = jnp.zeros((n_cells,), bool).at[safe].set(True, mode="drop")
+    slot = jnp.cumsum(occ) - 1  # ascending-key rank among occupied cells
+    num_unique = jnp.sum(occ).astype(jnp.int32)
+    cell_keys = jnp.arange(n_cells, dtype=jnp.int32)
+    dest = jnp.where(occ & (slot < capacity), slot,
+                     capacity + cell_keys)
+    out_keys = jnp.full((capacity,), INVALID_KEY, jnp.int32).at[dest].set(
+        cell_keys, mode="drop", unique_indices=True
+    )
+    out_valid = out_keys != INVALID_KEY
+    return out_keys, out_valid, num_unique
+
+
+def build_dense_row_table(coords: jnp.ndarray, valid: jnp.ndarray,
+                          spatial_shape, batch_size: int) -> jnp.ndarray:
+    """Dense cell→row lookup table for small key spaces (O(1) lookup).
+
+    Replaces the sorted-key binary search when the grid is small enough to
+    materialize (window grids). Returns (batch_size * prod(grid) + 1,) int32
+    of row indices, -1 for empty cells.
+    """
+    x_max, y_max, z_max = (int(s) for s in spatial_shape)
+    n_cells = batch_size * x_max * y_max * z_max
+    keys = linearize_coords(coords, spatial_shape, valid)
+    n = keys.shape[0]
+    safe = jnp.where(keys != INVALID_KEY, keys,
+                     n_cells + jnp.arange(n, dtype=keys.dtype))
+    rows = jnp.arange(n, dtype=jnp.int32)
+    return jnp.full((n_cells,), -1, jnp.int32).at[safe].set(
+        rows, mode="drop", unique_indices=True
+    )
+
+
+def lookup_dense(table: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
+    """O(1) lookup against :func:`build_dense_row_table` (-1 = miss)."""
+    n_cells = table.shape[0]
+    oob = (query_keys < 0) | (query_keys >= n_cells) | (query_keys == INVALID_KEY)
+    got = table[jnp.clip(query_keys, 0, n_cells - 1)]
+    return jnp.where(oob, -1, got)
+
+
 def unique_compact(keys: jnp.ndarray, capacity: int):
     """Deduplicate keys into a fixed-capacity sorted buffer.
 

@@ -82,6 +82,35 @@ class SparseVoxels:
         xyz_idx = self.coords[:, [3, 2, 1]].astype(jnp.float32)
         return (xyz_idx + 0.5) * vs + mins
 
+    def per_sample(self, max_per_sample: int | None = None):
+        """Re-layout flat global rows as (B, M, ...) per-sample tensors.
+
+        Returns (xyz (B, M, 3) metric centers, features (B, M, C),
+        valid (B, M)). Correctly handles globally-compacted site sets (e.g.
+        strided sparse-conv outputs) where per-sample counts vary — a plain
+        ``reshape(B, -1, ...)`` would mix samples.
+        """
+        m = max_per_sample or self.max_voxels
+        b = self.batch_size
+        v = self.max_voxels
+        bidx = jnp.where(self.valid, self.coords[:, 0], b)
+        # in-sample rank: exclusive per-batch-column prefix sum (works for
+        # any row order — collated per-sample slots or globally compacted)
+        onehot = (bidx[:, None] == jnp.arange(b)[None, :]) & self.valid[:, None]
+        excl = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - onehot
+        rank = jnp.take_along_axis(
+            excl, jnp.clip(bidx, 0, b - 1)[:, None], axis=1)[:, 0]
+        ok = self.valid & (rank < m)
+        dest = jnp.where(ok, bidx * m + rank,
+                         b * m + jnp.arange(v, dtype=jnp.int32))
+        xyz = jnp.zeros((b * m, 3), jnp.float32).at[dest].set(
+            self.metric_centers(), mode="drop").reshape(b, m, 3)
+        feats = jnp.zeros((b * m, self.num_features), self.features.dtype).at[
+            dest].set(self.features, mode="drop").reshape(b, m, -1)
+        valid = jnp.zeros((b * m,), bool).at[dest].set(
+            ok, mode="drop").reshape(b, m)
+        return xyz, feats, valid
+
     def dense(self, channels_last: bool = True) -> jnp.ndarray:
         """Scatter to a dense (B, D, H, W, C) grid (zeros where empty).
 

@@ -57,6 +57,108 @@ def global_scaling(gt_boxes, points, scale_range):
     return gt_boxes, points
 
 
+def random_world_translation(gt_boxes, points, noise_translate_std):
+    """Per-axis gaussian world shift (ref: augmentor_utils.py
+    random_translation_along_{x,y,z})."""
+    std = np.asarray(noise_translate_std, np.float64).reshape(-1)
+    if std.size == 1:
+        std = np.repeat(std, 3)
+    offset = np.random.normal(0, std, 3)
+    points[:, :3] += offset
+    if len(gt_boxes):
+        gt_boxes[:, :3] += offset
+    return gt_boxes, points
+
+
+def _points_in_box_mask(points, box):
+    from ..utils.geometry import points_in_boxes_numpy
+
+    return points_in_boxes_numpy(points[:, :3], box[None, :7])[:, 0]
+
+
+def random_local_translation(gt_boxes, points, offset_range, axes=("x", "y")):
+    """Per-object random shift (ref: augmentor_utils.py
+    random_local_translation_along_{x,y,z})."""
+    ax_idx = {"x": 0, "y": 1, "z": 2}
+    for i, box in enumerate(gt_boxes):
+        mask = _points_in_box_mask(points, box)
+        for ax in axes:
+            off = np.random.uniform(offset_range[0], offset_range[1])
+            points[mask, ax_idx[ax]] += off
+            gt_boxes[i, ax_idx[ax]] += off
+    return gt_boxes, points
+
+
+def random_local_rotation(gt_boxes, points, rot_range):
+    """Per-object rotation about its own center (ref: augmentor_utils.py
+    local_rotation)."""
+    for i, box in enumerate(gt_boxes):
+        angle = np.random.uniform(rot_range[0], rot_range[1])
+        mask = _points_in_box_mask(points, box)
+        ctr = box[:3].copy()
+        points[mask, :3] = rotate_points_along_z(
+            points[mask, :3] - ctr, angle) + ctr
+        gt_boxes[i, 6] += angle
+    return gt_boxes, points
+
+
+def random_local_scaling(gt_boxes, points, scale_range):
+    """Per-object scaling about its own center (ref: augmentor_utils.py
+    local_scaling)."""
+    if scale_range[1] - scale_range[0] < 1e-3:
+        return gt_boxes, points
+    for i, box in enumerate(gt_boxes):
+        scale = np.random.uniform(scale_range[0], scale_range[1])
+        mask = _points_in_box_mask(points, box)
+        ctr = box[:3].copy()
+        points[mask, :3] = (points[mask, :3] - ctr) * scale + ctr
+        gt_boxes[i, 3:6] *= scale
+    return gt_boxes, points
+
+
+def global_frustum_dropout(gt_boxes, points, intensity_range, direction="top"):
+    """Drop points in a world frustum (ref: augmentor_utils.py
+    global_frustum_dropout_{top,bottom,left,right})."""
+    intensity = np.random.uniform(intensity_range[0], intensity_range[1])
+    if len(points) == 0 or intensity <= 0:
+        return gt_boxes, points
+    if direction in ("top", "bottom"):
+        vals = points[:, 2]
+    else:
+        vals = points[:, 1]
+    lo, hi = vals.min(), vals.max()
+    if direction in ("top", "right"):
+        thresh = hi - intensity * (hi - lo)
+        keep = vals < thresh
+    else:
+        thresh = lo + intensity * (hi - lo)
+        keep = vals > thresh
+    return gt_boxes, points[keep]
+
+
+def random_local_frustum_dropout(gt_boxes, points, intensity_range,
+                                 direction="top"):
+    """Per-object frustum dropout (ref: augmentor_utils.py
+    local_frustum_dropout_{top,bottom,left,right})."""
+    for box in gt_boxes:
+        intensity = np.random.uniform(intensity_range[0], intensity_range[1])
+        mask = _points_in_box_mask(points, box)
+        if not mask.any():
+            continue
+        if direction in ("top", "bottom"):
+            vals = points[:, 2]
+            lo, hi = box[2] - box[5] / 2, box[2] + box[5] / 2
+        else:
+            vals = points[:, 1]
+            lo, hi = box[1] - box[4] / 2, box[1] + box[4] / 2
+        if direction in ("top", "right"):
+            drop = mask & (vals > hi - intensity * (hi - lo))
+        else:
+            drop = mask & (vals < lo + intensity * (hi - lo))
+        points = points[~drop]
+    return gt_boxes, points
+
+
 # --------------------------- gt sampling ------------------------------ #
 
 class DataBaseSampler:
@@ -165,6 +267,8 @@ class DataBaseSampler:
             else:
                 ok = np.ones(len(boxes), bool)
 
+            use_plane = bool(self.sampler_cfg.get("USE_ROAD_PLANE", False)) \
+                and "road_plane" in data_dict
             for s, box, keep in zip(sampled, boxes, ok):
                 if not keep:
                     continue
@@ -174,6 +278,17 @@ class DataBaseSampler:
                 obj_points = np.fromfile(fn, np.float32).reshape(
                     -1, self.num_point_features
                 )
+                if use_plane:
+                    # drop the box onto the road plane a*x+b*y+c*z+d=0
+                    # (ref: database_sampler.py:137 put_boxes_on_road_planes;
+                    # plane given in the lidar frame here — the reference's
+                    # calib round-trip collapses to this closed form)
+                    a, b, c, d = np.asarray(
+                        data_dict["road_plane"], np.float64)
+                    z_plane = -(a * box[0] + b * box[1] + d) / c
+                    mv_height = box[2] - box[5] / 2 - z_plane
+                    box = box.copy()
+                    box[2] -= mv_height  # points follow via the += below
                 obj_points[:, :3] += box[:3]
                 sampled_boxes_all.append(box)
                 sampled_points_all.append(obj_points)
@@ -252,6 +367,71 @@ class DataAugmentor:
         gt_boxes, points = global_scaling(
             data_dict["gt_boxes"], data_dict["points"], config["WORLD_SCALE_RANGE"]
         )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_world_translation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_world_translation, config=config)
+        gt_boxes, points = random_world_translation(
+            data_dict["gt_boxes"], data_dict["points"],
+            config["NOISE_TRANSLATE_STD"],
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_translation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_translation, config=config)
+        gt_boxes, points = random_local_translation(
+            data_dict["gt_boxes"], data_dict["points"],
+            config["LOCAL_TRANSLATION_RANGE"],
+            axes=tuple(config.get("ALONG_AXIS_LIST", ["x", "y"])),
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_rotation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_rotation, config=config)
+        rot_range = config["LOCAL_ROT_ANGLE"]
+        if not isinstance(rot_range, (list, tuple)):
+            rot_range = [-rot_range, rot_range]
+        gt_boxes, points = random_local_rotation(
+            data_dict["gt_boxes"], data_dict["points"], rot_range
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_scaling(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_scaling, config=config)
+        gt_boxes, points = random_local_scaling(
+            data_dict["gt_boxes"], data_dict["points"],
+            config["LOCAL_SCALE_RANGE"],
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_world_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_world_frustum_dropout, config=config)
+        gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+        for direction in config.get("DIRECTION", ["top"]):
+            gt_boxes, points = global_frustum_dropout(
+                gt_boxes, points, config["INTENSITY_RANGE"], direction
+            )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_frustum_dropout, config=config)
+        gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+        for direction in config.get("DIRECTION", ["top"]):
+            gt_boxes, points = random_local_frustum_dropout(
+                gt_boxes, points, config["INTENSITY_RANGE"], direction
+            )
         data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
         return data_dict
 

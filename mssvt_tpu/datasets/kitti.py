@@ -142,6 +142,16 @@ class KittiDataset(DatasetTemplate):
         return self.prepare_data(input_dict)
 
     def evaluation(self, det_annos, class_names, **kwargs):
+        """EVAL_METRIC 'kitti' → official-protocol R40 AP with difficulty
+        buckets + ignored-GT semantics (utils/kitti_eval.py, ref:
+        kitti_object_eval_python/eval.py:448,639); anything else → the fast
+        proxy."""
+        metric = self.dataset_cfg.get("EVAL_METRIC", "kitti")
+        if metric == "kitti":
+            from ..utils.kitti_eval import kitti_official_eval
+
+            return kitti_official_eval(
+                det_annos, kwargs["gt_annos"], class_names)
         from ..utils.eval_ap import kitti_style_eval
 
         return kitti_style_eval(det_annos, kwargs["gt_annos"], class_names)

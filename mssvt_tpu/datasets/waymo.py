@@ -38,6 +38,17 @@ class WaymoDataset(DatasetTemplate):
         self.infos = []
         self.include_waymo_data(self.mode)
 
+    def set_split(self, split):
+        """Re-point the sequence list at another split (ref:
+        waymo_dataset.py set_split)."""
+        self.split = split
+        split_file = self.root_path / "ImageSets" / (self.split + ".txt")
+        self.sample_sequence_list = (
+            [x.strip() for x in open(split_file).readlines()]
+            if split_file.exists() else []
+        )
+        self.infos = []
+
     def include_waymo_data(self, mode):
         """Ref: waymo_dataset.py:50-75 (info pkl loading + interval subsample)."""
         if self.logger:
@@ -103,24 +114,202 @@ class WaymoDataset(DatasetTemplate):
 
     # ------------------------------ eval ------------------------------- #
 
+    @staticmethod
+    def generate_prediction_dicts(det_frames, class_names):
+        """Per-frame eval outputs → Waymo anno dicts (ref: waymo_dataset.py
+        :221-266 ``generate_prediction_dicts``)."""
+        annos = []
+        names = np.asarray(class_names)
+        for d in det_frames:
+            labels = np.asarray(d["labels"], np.int64)
+            annos.append({
+                "name": names[np.clip(labels - 1, 0, len(names) - 1)],
+                "score": np.asarray(d["scores"], np.float32),
+                "boxes_lidar": np.asarray(d["boxes"], np.float32)[:, :7],
+            })
+        return annos
+
     def evaluation(self, det_annos, class_names, **kwargs):
-        """Dual backends (ref: waymo_dataset.py:268-319)."""
+        """Dual backends (ref: waymo_dataset.py:268-319): 'kitti' = the fast
+        AP proxy; 'waymo' = official-protocol AP/APH L1/L2 (waymo_eval.py —
+        TF ops when waymo-open-dataset is importable, numpy otherwise)."""
         metric = self.dataset_cfg.get("EVAL_METRIC", kwargs.get("eval_metric", "kitti"))
         if metric == "waymo":
-            try:
-                return self._waymo_official_eval(det_annos, class_names)
-            except ImportError:
-                if self.logger:
-                    self.logger.warning(
-                        "waymo-open-dataset not available; falling back to "
-                        "KITTI-style AP proxy"
-                    )
+            return self._waymo_official_eval(det_annos, class_names)
         from ..utils.eval_ap import kitti_style_eval
 
         return kitti_style_eval(det_annos, kwargs["gt_annos"], class_names)
 
     def _waymo_official_eval(self, det_annos, class_names):
-        """Official AP/APH L1/L2 via waymo-open-dataset (ref: waymo_eval.py)."""
-        from .waymo_eval import OpenPCDetWaymoDetectionMetricsEstimator  # noqa
+        """Official AP/APH L1/L2 protocol (ref: waymo_eval.py:86-146)."""
+        from .waymo_eval import (
+            OpenPCDetWaymoDetectionMetricsEstimator,
+            format_waymo_results,
+        )
 
-        raise ImportError("official waymo eval requires waymo-open-dataset")
+        eval_gt_annos = [info["annos"] for info in self.infos[:len(det_annos)]]
+        estimator = OpenPCDetWaymoDetectionMetricsEstimator()
+        results = estimator.waymo_evaluation(
+            det_annos, eval_gt_annos, class_name=class_names,
+            distance_thresh=1000,
+            fake_gt_infos=self.dataset_cfg.get("INFO_WITH_FAKELIDAR", False),
+        )
+        return format_waymo_results(results), results
+
+    # ------------------------- data preparation ------------------------- #
+
+    def create_groundtruth_database(self, info_path=None, used_classes=None,
+                                    split="train", sampled_interval=10,
+                                    processed_data_tag=None):
+        """GT-object database for gt_sampling augmentation
+        (ref: waymo_dataset.py:321-400): per-object point crops saved as .bin
+        plus a dbinfos pkl. points_in_boxes runs in numpy on host.
+        """
+        from ..utils.geometry import points_in_boxes_numpy
+
+        db_save_path = self.root_path / (
+            f"pcdet_gt_database_{split}_sampled_{sampled_interval}")
+        db_info_save_path = self.root_path / (
+            f"pcdet_waymo_dbinfos_{split}_sampled_{sampled_interval}.pkl")
+        db_save_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+
+        if info_path is None:
+            infos = self.infos
+        else:
+            with open(info_path, "rb") as f:
+                infos = pickle.load(f)
+
+        for k in range(0, len(infos), sampled_interval):
+            info = infos[k]
+            pc_info = info["point_cloud"]
+            sequence_name = pc_info["lidar_sequence"]
+            sample_idx = pc_info["sample_idx"]
+            points = self.get_lidar(sequence_name, sample_idx)
+            annos = info["annos"]
+            names = annos["name"]
+            gt_boxes = annos["gt_boxes_lidar"]
+            if len(gt_boxes) == 0:
+                continue
+
+            box_mask = points_in_boxes_numpy(points[:, :3], gt_boxes[:, :7])
+            for i in range(len(gt_boxes)):
+                if used_classes is not None and names[i] not in used_classes:
+                    continue
+                filename = f"{sequence_name}_{sample_idx:04d}_{names[i]}_{i}.bin"
+                filepath = db_save_path / filename
+                gt_points = points[box_mask[:, i]].copy()
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                gt_points.astype(np.float32).tofile(filepath)
+
+                db_info = {
+                    "name": names[i],
+                    "path": str(filepath.relative_to(self.root_path)),
+                    "sequence_name": sequence_name,
+                    "sample_idx": sample_idx,
+                    "gt_idx": i,
+                    "box3d_lidar": gt_boxes[i],
+                    "num_points_in_gt": int(box_mask[:, i].sum()),
+                    "difficulty": annos.get(
+                        "difficulty", np.zeros(len(gt_boxes)))[i],
+                }
+                all_db_infos.setdefault(names[i], []).append(db_info)
+
+        for key, val in all_db_infos.items():
+            if self.logger:
+                self.logger.info(f"Database {key}: {len(val)}")
+        with open(db_info_save_path, "wb") as f:
+            pickle.dump(all_db_infos, f)
+        return db_info_save_path
+
+    def get_infos(self, raw_data_path, save_path, num_workers=1,
+                  sampled_interval=1):
+        """TFRecord → per-frame npy + per-sequence info pkl
+        (ref: waymo_dataset.py:137-157 + waymo_utils.py:11-13). Requires the
+        optional waymo-open-dataset package; sequential on this 1-core box
+        (the reference fans out with multiprocessing.Pool)."""
+        from . import waymo_utils
+
+        infos = []
+        for seq_file in self.sample_sequence_list:
+            infos.extend(waymo_utils.process_single_sequence(
+                sequence_file=str(Path(raw_data_path) / seq_file),
+                save_path=Path(save_path),
+                sampled_interval=sampled_interval,
+            ))
+        return infos
+
+
+def create_waymo_infos(dataset_cfg, class_names, data_path, save_path,
+                       raw_data_tag="raw_data",
+                       processed_data_tag="waymo_processed_data",
+                       logger=None):
+    """Full data-prep pipeline (ref: waymo_dataset.py:403-474): TFRecord
+    extraction for train+val splits, aggregated info pkls, GT database.
+
+    CLI: python -m mssvt_tpu.datasets.waymo --cfg_file <dataset yaml>
+    """
+    dataset = WaymoDataset(
+        dataset_cfg=dataset_cfg, class_names=class_names, training=False,
+        root_path=Path(data_path), logger=logger,
+    )
+    train_split, val_split = "train", "val"
+    train_filename = Path(save_path) / f"waymo_infos_{train_split}.pkl"
+    val_filename = Path(save_path) / f"waymo_infos_{val_split}.pkl"
+
+    print("---------------Start to generate data infos---------------")
+    dataset.set_split(train_split)
+    waymo_infos_train = dataset.get_infos(
+        raw_data_path=Path(data_path) / raw_data_tag,
+        save_path=Path(save_path) / processed_data_tag,
+        sampled_interval=1,
+    )
+    with open(train_filename, "wb") as f:
+        pickle.dump(waymo_infos_train, f)
+    print(f"Waymo info train file is saved to {train_filename}")
+
+    dataset.set_split(val_split)
+    waymo_infos_val = dataset.get_infos(
+        raw_data_path=Path(data_path) / raw_data_tag,
+        save_path=Path(save_path) / processed_data_tag,
+        sampled_interval=1,
+    )
+    with open(val_filename, "wb") as f:
+        pickle.dump(waymo_infos_val, f)
+    print(f"Waymo info val file is saved to {val_filename}")
+
+    print("---------------Start create groundtruth database---------------")
+    dataset.set_split(train_split)
+    dataset.include_waymo_data("train")
+    dataset.create_groundtruth_database(
+        info_path=train_filename, split=train_split, sampled_interval=10,
+        used_classes=list(class_names),
+    )
+    print("---------------Data preparation Done---------------")
+
+
+if __name__ == "__main__":
+    import argparse
+    import sys as _sys
+
+    import yaml
+
+    from ..utils.edict import EasyDict
+
+    parser = argparse.ArgumentParser(description="Waymo data preparation")
+    parser.add_argument("--cfg_file", type=str, required=True,
+                        help="dataset config yaml")
+    parser.add_argument("--func", type=str, default="create_waymo_infos")
+    parser.add_argument("--data_path", type=str, default=None)
+    args = parser.parse_args()
+    assert args.func == "create_waymo_infos", args.func
+    cfg = EasyDict(yaml.safe_load(open(args.cfg_file)))
+    data_path = args.data_path or cfg.DATA_PATH
+    create_waymo_infos(
+        dataset_cfg=cfg,
+        class_names=["Vehicle", "Pedestrian", "Cyclist"],
+        data_path=data_path,
+        save_path=data_path,
+        processed_data_tag=cfg.get("PROCESSED_DATA_TAG",
+                                   "waymo_processed_data"),
+    )

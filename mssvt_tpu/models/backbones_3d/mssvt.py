@@ -120,32 +120,50 @@ class MsSVTBlock(nn.Module):
 
         win_coords, win_valid, _, _ = window_partition(
             sp.coords, sp.valid, sp.spatial_shape, self.win1,
-            self.max_windows * sp.batch_size,
+            self.max_windows * sp.batch_size, batch_size=sp.batch_size,
         )
+        q_name = {0: "even", 1: "odd", 2: "win1"}[self.cbs_pattern]
+        need = ("win1", "win2") if q_name == "win1" else (q_name, "win1", "win2")
         g = gather_window_voxels(
             win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
             self.win1, self.tables, max_num_win1=self.cap1,
-            max_num_win2=self.cap2,
+            max_num_win2=self.cap2, batch_size=sp.batch_size,
+            buffers=need,
         )
-
-        q_name = {0: "even", 1: "odd", 2: "win1"}[self.cbs_pattern]
         q = g[q_name]
         win1b, win2b = g["win1"], g["win2"]
 
         # --- FPS key selection per scale (ref :247-258)
-        k_ind1, k_mask1, _ = _fps_keys(win1b["ind"], win1b["coord"], self.key_num_sample)
-        k_ind2, k_mask2, _ = _fps_keys(win2b["ind"], win2b["coord"], self.key_num_sample)
+        k_ind1, k_mask1, fps1 = _fps_keys(win1b["ind"], win1b["coord"], self.key_num_sample)
+        k_ind2, k_mask2, fps2 = _fps_keys(win2b["ind"], win2b["coord"], self.key_num_sample)
 
-        # --- feature / coordinate gathers (ref :260-268)
+        # --- feature gathers (ref :260-268). Row gathers are index-rate
+        # bound on TPU, so: win1 keys reuse the window's own buffer via a
+        # LOCAL take_along_axis (fps indices address the buffer), and all
+        # metric coordinates are derived arithmetically from the gather
+        # buffers' integer offsets — no voxel-table gather at all.
         q_fea = group_features(x, q["ind"])  # (NW, nq, C)
-        k_fea1 = group_features(x, k_ind1)  # (NW, nk, C)
+        win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
+        k_fea1 = gather_along_batch(win1_fea, fps1) * (~k_mask1)[..., None]
         k_fea2 = group_features(x, k_ind2)
 
-        vox_xyz = sp.metric_centers()  # (V, 3)
-        q_coord = group_features(vox_xyz, q["ind"])  # (NW, nq, 3)
-        win1_coord = group_features(vox_xyz, win1b["ind"])  # (NW, n1, 3)
-        k_coord1 = group_features(vox_xyz, k_ind1)
-        k_coord2 = group_features(vox_xyz, k_ind2)
+        # metric center of a buffer slot = window-center voxel + offset
+        vs = jnp.asarray(sp.voxel_size, jnp.float32)
+        mins = jnp.asarray(sp.point_cloud_range[:3], jnp.float32)
+        ws = jnp.asarray(self.win1, jnp.int32)
+        ctr_vox = win_coords[:, [3, 2, 1]] * ws + ws // 2  # (NW, 3) xyz
+
+        def slot_metric(off, empty_mask):
+            xyz = (ctr_vox[:, None, :] + off).astype(jnp.float32)
+            m = (xyz + 0.5) * vs + mins
+            return m * (~empty_mask)[..., None]  # zeros where empty (parity)
+
+        q_coord = slot_metric(q["coord"], q["mask"])  # (NW, nq, 3)
+        win1_coord = slot_metric(win1b["coord"], win1b["mask"])  # (NW, n1, 3)
+        k_coord1 = slot_metric(
+            gather_along_batch(win1b["coord"], fps1), k_mask1)
+        k_coord2 = slot_metric(
+            gather_along_batch(win2b["coord"], fps2), k_mask2)
         win_center = _window_metric_centers(
             win_coords, sp.voxel_size, self.win1, sp.point_cloud_range
         )  # (NW, 3)
@@ -189,10 +207,20 @@ class MsSVTBlock(nn.Module):
 
         # --- scatter back (replaces the per-batch loop, ref :313-336). Base
         # is the ORIGINAL features (ref clones sp_tensor.features, :317).
+        # Each voxel belongs to exactly one win1 window and appears at most
+        # once in its gather buffer, so live indices are unique; padding
+        # rows are spread over distinct out-of-bounds slots so the whole
+        # index set is unique → XLA takes the fast non-serializing scatter.
         v = sp.max_voxels
-        safe = jnp.where(upd_ind >= 0, upd_ind, v)
-        updated = shortcut.at[safe.reshape(-1)].set(
-            upd_fea.reshape(-1, upd_fea.shape[-1]).astype(shortcut.dtype), mode="drop"
+        flat_ind = upd_ind.reshape(-1)
+        n_upd = flat_ind.shape[0]
+        safe = jnp.where(
+            flat_ind >= 0, flat_ind,
+            v + jnp.arange(n_upd, dtype=flat_ind.dtype),
+        )
+        updated = shortcut.at[safe].set(
+            upd_fea.reshape(-1, upd_fea.shape[-1]).astype(shortcut.dtype),
+            mode="drop", unique_indices=True,
         )
 
         # --- residual + FFN (ref :338-343)
@@ -244,11 +272,12 @@ class MsSVTCompressBlock(nn.Module):
 
         win_coords, win_valid, win_grid, _ = window_partition(
             sp.coords, sp.valid, sp.spatial_shape, self.win1,
-            self.max_windows * sp.batch_size,
+            self.max_windows * sp.batch_size, batch_size=sp.batch_size,
         )
         g = gather_window_voxels(
             win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
             self.win1, self.tables, max_num_win1=self.cap1,
+            batch_size=sp.batch_size,
         )
         k = g["win1"]
 

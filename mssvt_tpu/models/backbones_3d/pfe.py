@@ -20,7 +20,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.pointnet2 import query_and_group
-from ...ops.sampling import farthest_point_sample, gather_along_batch
+from ...ops.sampling import (
+    farthest_point_sample,
+    gather_along_batch,
+    sample_points_with_roi,
+    sector_fps,
+)
 from ..roi_heads.bev_grid_head import bilinear_sample_bev
 from .pointnet2_backbone import SharedMLP
 
@@ -34,7 +39,8 @@ class VoxelSetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(self, points_xyz, points_feat, points_valid, sources: Dict,
-                 bev_features=None, bev_stride=8, train: bool = False):
+                 bev_features=None, bev_stride=8, rois=None, roi_valid=None,
+                 train: bool = False):
         """
         Args:
             points_xyz: (B, N, 3) raw points (padded, origin-filled).
@@ -42,11 +48,28 @@ class VoxelSetAbstraction(nn.Module):
             sources: {name: (xyz (B, M, 3), feats (B, M, C), valid (B, M))}
                 from sparse conv stages (voxel centers in metric space).
             bev_features: (B, H, W, C_bev) NHWC.
+            rois/roi_valid: (B, R, 7+)/(B, R) RPN proposals — used only by
+                SAMPLE_METHOD: SPC (sectorized proposal-centric keypoint
+                sampling, ref: voxel_set_abstraction.py:45-121).
 
         Returns keypoints (B, K, 3), keypoint features (B, K, C_out).
         """
         cfg = self.model_cfg
-        fps_idx = farthest_point_sample(points_xyz, self.num_keypoints)
+        method = str(cfg.get("SAMPLE_METHOD", "FPS")).upper()
+        if method == "SPC":
+            spc = cfg.get("SPC_SAMPLING", {})
+            valid = points_valid
+            if rois is not None:
+                valid = sample_points_with_roi(
+                    points_xyz, valid, rois[..., :7], roi_valid,
+                    float(spc.get("SAMPLE_RADIUS_WITH_ROI", 1.6)),
+                )
+            fps_idx = sector_fps(
+                points_xyz, valid, self.num_keypoints,
+                int(spc.get("NUM_SECTORS", 6)),
+            )
+        else:
+            fps_idx = farthest_point_sample(points_xyz, self.num_keypoints)
         keypoints = gather_along_batch(points_xyz, fps_idx)  # (B, K, 3)
 
         feats = []
@@ -76,9 +99,29 @@ class VoxelSetAbstraction(nn.Module):
         for name, (sx, sf, sv) in sources.items():
             scfg = sa_cfg[name]
             outs = []
+            use_vp = str(scfg.get("NAME", "")).startswith("VectorPool")
             for i, (r, ns, mlp) in enumerate(zip(
                 scfg["POOL_RADIUS"], scfg["NSAMPLE"], scfg["MLPS"],
             )):
+                if use_vp:
+                    # PV-RCNN++ vector-pool aggregation (ref:
+                    # vector_pool_gpu.cu + pointnet2_utils
+                    # VectorPoolAggregationModuleMSG)
+                    from ...ops.pointnet2 import vector_pool
+
+                    pooled, empty = vector_pool(
+                        keypoints, sx, sf, sv, float(r), int(ns),
+                        grid=int(scfg.get("GRID_SIZE", 2)),
+                    )
+                    h = nn.Dense(int(mlp[-1]), use_bias=False,
+                                 dtype=self.dtype,
+                                 name=f"{name}_vp_fc_{i}")(pooled)
+                    h = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.99, epsilon=1e-3,
+                                     dtype=self.dtype,
+                                     name=f"{name}_vp_bn_{i}")(h)
+                    outs.append(nn.relu(h) * (~empty)[..., None])
+                    continue
                 grouped, empty = query_and_group(
                     float(r), int(ns), sx, keypoints, sf, sv,
                 )

@@ -134,18 +134,21 @@ class VoxelBackBone8x(nn.Module):
     out_channels: int = 128
     residual: bool = False
     capacity_fractions: Sequence[float] = (1.0, 0.8, 0.6, 0.4, 0.3)
+    return_stages: bool = False  # also return {x_conv1..x_conv4} (VoxelRCNN/PV-RCNN multi-scale)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, sp: SparseVoxels, train: bool = False) -> SparseVoxels:
+    def __call__(self, sp: SparseVoxels, train: bool = False):
         caps = [max(int(self.input_capacity * f), 64) for f in self.capacity_fractions]
         f = self.num_filters
+        stages = {}
 
         # conv_input + conv1 (stride 1)
         sp = _SubMStage((f[0],), dtype=self.dtype, name="conv_input")(sp, train)
         sp = _SubMStage((f[0],) * (2 if self.residual else 1),
                         residual=self.residual, dtype=self.dtype,
                         name="conv1")(sp, train)
+        stages["x_conv1"] = sp
 
         # conv2..conv4: strided down + 2 subm convs each
         for i, (c, cap) in enumerate(zip(f[1:], caps[1:4]), start=2):
@@ -157,6 +160,7 @@ class VoxelBackBone8x(nn.Module):
             )(sp, train)
             sp = _SubMStage((c, c), residual=self.residual, dtype=self.dtype,
                             name=f"conv{i}_subm")(sp, train)
+            stages[f"x_conv{i}"] = sp
 
         # conv_out: (3,1,1) stride (2,1,1) z-compression (ref :129-137)
         sp = SparseConvDownLayer(
@@ -164,4 +168,13 @@ class VoxelBackBone8x(nn.Module):
             padding=(0, 0, 0), max_out=caps[4], dtype=self.dtype,
             name="conv_out",
         )(sp, train)
+        if self.return_stages:
+            return sp, stages
         return sp
+
+
+class VoxelResBackBone8x(VoxelBackBone8x):
+    """Residual variant (ref: spconv_backbone.py:~150 VoxelResBackBone8x):
+    SparseBasicBlock pairs instead of plain subm convs."""
+
+    residual: bool = True

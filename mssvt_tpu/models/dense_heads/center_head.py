@@ -236,6 +236,13 @@ class CenterHead(nn.Module):
         pre_max = int(nms_cfg["NMS_PRE_MAXSIZE"])
         post_max = int(nms_cfg["NMS_POST_MAXSIZE"])
         thresh_cfg = nms_cfg["NMS_THRESH"]
+        # NMS_TYPE circle_nms: center-distance suppression, no rotated IoU
+        # (ref: centernet_utils.py:80-104 + model_nms_utils class_agnostic_nms
+        # dispatch); thresholds are metric radii in that mode.
+        if str(nms_cfg.get("NMS_TYPE", "nms_gpu")) == "circle_nms":
+            from ...ops.nms import circle_nms as _nms_fn
+        else:
+            _nms_fn = nms_bev
 
         all_boxes, all_scores, all_labels, all_mask = [], [], [], []
         for head_idx, pred in enumerate(pred_dicts):
@@ -261,7 +268,7 @@ class CenterHead(nn.Module):
                 for ci, cth in enumerate(thresh_cfg):
                     cmask = mask & (labels_local == ci)
                     sel, _ = jax.vmap(
-                        lambda bx, sc, vm: nms_bev(bx, sc, vm, float(cth), pre_max, post_max)
+                        lambda bx, sc, vm: _nms_fn(bx, sc, vm, float(cth), pre_max, post_max)
                     )(boxes, scores, cmask)
                     self._append_selected(
                         sel, boxes, scores, labels_local, id_map,
@@ -270,7 +277,7 @@ class CenterHead(nn.Module):
             else:
                 th = float(thresh_cfg[0] if isinstance(thresh_cfg, (list, tuple)) else thresh_cfg)
                 sel, _ = jax.vmap(
-                    lambda bx, sc, vm: nms_bev(bx, sc, vm, th, pre_max, post_max)
+                    lambda bx, sc, vm: _nms_fn(bx, sc, vm, th, pre_max, post_max)
                 )(boxes, scores, mask)
                 self._append_selected(
                     sel, boxes, scores, labels_local, id_map,

@@ -1,14 +1,26 @@
 from .centerpoint import CenterPoint
+from .part_a2 import PartA2Net
+from .point_rcnn import PointRCNN
 from .pointpillar import PointPillar
+from .pv_rcnn import PVRCNN
 from .second_net import SECONDNet
 from .second_net_iou import SECONDNetIoU
+from .voxel_rcnn import VoxelRCNN
 
 __all__ = {
     "CenterPoint": CenterPoint,
+    "PartA2": PartA2Net,
     "PointPillar": PointPillar,
+    "PointRCNN": PointRCNN,
+    "PVRCNN": PVRCNN,
+    # PV-RCNN++ = PVRCNN shell with SPC keypoint sampling + vector-pool SA
+    # layers (ref: detectors/pv_rcnn_plusplus.py — proposals feed the PFE,
+    # which our PVRCNN forward already does); select via PFE config.
+    "PVRCNNPlusPlus": PVRCNN,
     "SECOND": SECONDNet,
     "SECONDNet": SECONDNet,
     "SECONDNetIoU": SECONDNetIoU,
+    "VoxelRCNN": VoxelRCNN,
 }
 
 
@@ -32,6 +44,11 @@ def build_detector(model_cfg, num_class, class_names, grid_size, voxel_size,
 
     cls = __all__[model_cfg["NAME"]]
     dtype = jnp.dtype(_DTYPE_NAMES[str(model_cfg.get("DTYPE", "float32")).lower()])
+    kwargs = {}
+    # point-based detectors carry a raw-point capacity (static shape for the
+    # (B, max_points, C) tensors the data pipeline pads to)
+    if "max_points" in cls.__dataclass_fields__ and "MAX_POINTS" in model_cfg:
+        kwargs["max_points"] = int(model_cfg["MAX_POINTS"])
     return cls(
         model_cfg=model_cfg,
         num_class=num_class,
@@ -43,4 +60,5 @@ def build_detector(model_cfg, num_class, class_names, grid_size, voxel_size,
         max_voxels=int(max_voxels),
         max_points_per_voxel=int(max_points_per_voxel),
         dtype=dtype,
+        **kwargs,
     )

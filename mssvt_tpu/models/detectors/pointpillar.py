@@ -14,6 +14,7 @@ from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
 from ..backbones_2d.map_to_bev import PointPillarScatter
 from ..backbones_3d.vfe import PillarVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle
+from ..dense_heads.anchor_head_multi import AnchorHeadMulti
 from .generic_post import post_process_anchor
 
 
@@ -55,7 +56,9 @@ class PointPillar(nn.Module):
             num_upsample_filters=tuple(b2d.get("NUM_UPSAMPLE_FILTERS", [])),
             dtype=self.dtype,
         )
-        self.dense_head = AnchorHeadSingle(
+        head_cls = (AnchorHeadMulti if cfg["DENSE_HEAD"]["NAME"]
+                    == "AnchorHeadMulti" else AnchorHeadSingle)
+        self.dense_head = head_cls(
             model_cfg=cfg["DENSE_HEAD"],
             input_channels=self.backbone_2d.num_bev_features,
             num_class=self.num_class,

@@ -1,8 +1,9 @@
-"""PV-RCNN detector (ref: pcdet/models/detectors/pv_rcnn.py:4-56).
+"""VoxelRCNN detector (ref: pcdet/models/detectors/voxel_rcnn.py).
 
-SECOND backbone + VoxelSetAbstraction keypoints + PointHeadSimple foreground
-weighting + PVRCNNHead refinement. Requires the data config to carry raw
-points (``MAX_POINTS > 0``).
+SECOND-style RPN (MeanVFE → VoxelBackBone8x → HeightCompression/BEV →
+AnchorHeadSingle) + VoxelRCNNHead refinement pooling multi-scale sparse-conv
+voxel features at RoI grid points via voxel_query neighborhoods. No keypoint
+branch (the family's difference vs PV-RCNN).
 """
 
 from __future__ import annotations
@@ -16,21 +17,19 @@ from flax import linen as nn
 from ...core.sparse import SparseVoxels
 from ...utils.box_coder import ResidualCoder
 from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
-from ..backbones_3d.pfe import VoxelSetAbstraction
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x
 from ..backbones_3d.vfe import MeanVFE
 from ..dense_heads.anchor_head import AnchorHeadSingle
-from ..dense_heads.point_head import PointHeadSimple, assign_point_targets
-from ..roi_heads.pvrcnn_head import PVRCNNHead
 from ..roi_heads.roi_head_template import (
     assign_proposal_targets,
     proposal_layer,
     roi_box_loss,
     roi_cls_loss,
 )
+from ..roi_heads.voxelrcnn_head import VoxelRCNNHead
 
 
-class PVRCNN(nn.Module):
+class VoxelRCNN(nn.Module):
     model_cfg: Any
     num_class: int
     class_names: Sequence[str]
@@ -40,7 +39,6 @@ class PVRCNN(nn.Module):
     batch_size: int
     max_voxels: int
     max_points_per_voxel: int
-    max_points: int = 16384  # per-sample raw point capacity
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -51,6 +49,8 @@ class PVRCNN(nn.Module):
             input_capacity=self.max_voxels * self.batch_size,
             num_filters=tuple(b3d.get("NUM_FILTERS", [16, 32, 64, 64])),
             out_channels=int(b3d.get("OUT_CHANNELS", 128)),
+            residual=b3d.get("NAME") == "VoxelResBackBone8x",
+            return_stages=True,
             dtype=self.dtype,
         )
         b2d = cfg["BACKBONE_2D"]
@@ -71,34 +71,9 @@ class PVRCNN(nn.Module):
             point_cloud_range=tuple(self.point_cloud_range),
             dtype=self.dtype,
         )
-        pfe_cfg = cfg["PFE"]
-        self.pfe = VoxelSetAbstraction(
-            model_cfg=pfe_cfg,
-            voxel_size=tuple(self.voxel_size),
-            point_cloud_range=tuple(self.point_cloud_range),
-            num_keypoints=int(pfe_cfg.get("NUM_KEYPOINTS", 2048)),
-            dtype=self.dtype,
-        )
-        self.point_head = PointHeadSimple(
-            model_cfg=cfg["POINT_HEAD"],
-            input_channels=int(pfe_cfg["NUM_OUTPUT_FEATURES"]),
-            dtype=self.dtype,
-        )
-        self.roi_head = PVRCNNHead(
-            model_cfg=cfg["ROI_HEAD"],
-            input_channels=int(pfe_cfg["NUM_OUTPUT_FEATURES"]),
-            dtype=self.dtype,
-        )
+        self.roi_head = VoxelRCNNHead(model_cfg=cfg["ROI_HEAD"], dtype=self.dtype)
         self.roi_cfg = cfg["ROI_HEAD"]
         self.coder = ResidualCoder()
-
-    def _per_sample_points(self, batch):
-        """(B*P, C) flat points → (B, P, 3), (B, P, C-3), (B, P)."""
-        pts = batch["points"].reshape(self.batch_size, self.max_points, -1)
-        valid = batch["points_valid"].reshape(self.batch_size, self.max_points)
-        xyz = pts[..., :3] * valid[..., None]
-        feat = pts[..., 3:] * valid[..., None]
-        return xyz, feat, valid
 
     def __call__(self, batch, train: bool = False):
         voxel_features = self.vfe(batch["voxels"], batch["voxel_num_points"])
@@ -108,9 +83,9 @@ class PVRCNN(nn.Module):
             spatial_shape=self.grid_size, voxel_size=self.voxel_size,
             point_cloud_range=self.point_cloud_range,
         )
-        sp_out = self.backbone_3d(sp, train=train)
-        bev = self.backbone_2d(sp_out.bev(), train=train)
-        preds = self.dense_head(bev, train=train)
+        sp_out, stages = self.backbone_3d(sp, train=train)
+        spatial_2d = self.backbone_2d(sp_out.bev(), train=train)
+        preds = self.dense_head(spatial_2d, train=train)
         boxes, scores_mc = self.dense_head.generate_predicted_boxes(preds)
         scores = jnp.max(scores_mc, axis=-1)
         labels = jnp.argmax(scores_mc, axis=-1) + 1
@@ -124,24 +99,6 @@ class PVRCNN(nn.Module):
             labels=labels,
         )
 
-        # keypoint branch: final sparse stage voxel centers as the source
-        # (multi-stage sources can be added by exposing intermediate stages);
-        # proposals feed the SPC sampler when PFE.SAMPLE_METHOD == SPC
-        xyz, feat, pvalid = self._per_sample_points(batch)
-        # downsampled site sets are globally compacted; per_sample re-lays
-        # them out with correct sample boundaries (a reshape would mix them)
-        vox_xyz, vox_feat, vox_valid = sp_out.per_sample()
-        keypoints, kp_feat, _ = self.pfe(
-            xyz, feat if feat.shape[-1] else None, pvalid,
-            sources={"x_conv_out": (vox_xyz, vox_feat, vox_valid)},
-            bev_features=bev, bev_stride=8, rois=rois, roi_valid=roi_valid,
-            train=train,
-        )
-        kp_cls = self.point_head(kp_feat, train=train)  # (B, K, 1)
-        # foreground-weighted keypoint features (ref: pv_rcnn predicted
-        # keypoint weighting module)
-        kp_feat = kp_feat * jax.nn.sigmoid(kp_cls)
-
         out = {"pred_dicts": preds}
         if train:
             tcfg = self.roi_cfg["TARGET_CONFIG"]
@@ -154,29 +111,23 @@ class PVRCNN(nn.Module):
                 fg_ratio=float(tcfg.get("FG_RATIO", 0.5)),
             )
             cls_logits, reg = self.roi_head(
-                keypoints, kp_feat, targets["rois"],
-                targets["reg_valid"] | (targets["cls_labels"] >= 0), train=train,
+                stages, targets["rois"],
+                targets["reg_valid"] | (targets["cls_labels"] >= 0),
+                self.batch_size, train=train,
             )
             rcnn_cls = roi_cls_loss(cls_logits, targets["cls_labels"])
             rcnn_reg = roi_box_loss(
                 reg, targets["gt_of_rois"], targets["rois"], targets["reg_valid"],
             )
-            pt_labels, _ = assign_point_targets(
-                keypoints, jnp.ones(keypoints.shape[:2], bool), batch["gt_boxes"],
-            )
-            pt_loss = PointHeadSimple.get_loss(kp_cls, pt_labels)
             rpn_targets = self.dense_head.assign_targets(batch["gt_boxes"])
             rpn_loss, tb = self.dense_head.get_loss(preds, rpn_targets)
-            loss = rpn_loss + rcnn_cls + rcnn_reg + pt_loss
-            tb.update({
-                "rcnn_loss_cls": rcnn_cls, "rcnn_loss_reg": rcnn_reg,
-                "point_loss_cls": pt_loss,
-            })
+            loss = rpn_loss + rcnn_cls + rcnn_reg
+            tb.update({"rcnn_loss_cls": rcnn_cls, "rcnn_loss_reg": rcnn_reg})
             out["loss"] = loss
             out["tb_dict"] = tb
         else:
-            cls_logits, reg = self.roi_head(keypoints, kp_feat, rois, roi_valid,
-                                            train=False)
+            cls_logits, reg = self.roi_head(
+                stages, rois, roi_valid, self.batch_size, train=False)
             anchor = jnp.concatenate([
                 jnp.zeros_like(rois[..., :3]), rois[..., 3:6],
                 jnp.zeros_like(rois[..., 6:7]),

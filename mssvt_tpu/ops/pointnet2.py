@@ -138,3 +138,51 @@ def roipoint_pool3d(points, point_features, boxes, num_sampled_points: int,
     feat = jnp.concatenate([points, point_features], axis=-1)
     pooled = feat[idx]  # (M, k, 3+C)
     return pooled * (~empty)[:, None, None], empty
+
+
+def vector_pool(queries_xyz, support_xyz, support_feat, support_valid,
+                radius: float, nsample: int, grid: int = 2):
+    """PV-RCNN++ vector-pool local-grid aggregation.
+
+    Rebuild of ref pcdet/ops/pointnet2/pointnet2_stack/src/
+    vector_pool_gpu.cu:19-433 (``vector_pool_kernel`` family): the spherical
+    neighborhood of each query is divided into a ``grid^3`` local sub-voxel
+    grid over [-radius, radius]^3; points falling in each sub-voxel are
+    AVERAGED (features and relative xyz separately), and the per-cell
+    (3 + C) vectors concatenate into one fixed-length descriptor — giving
+    position-structured pooling without per-point MLPs.
+
+    Args:
+        queries_xyz: (B, M, 3); support_xyz: (B, N, 3);
+        support_feat: (B, N, C); support_valid: (B, N).
+
+    Returns:
+        pooled: (B, M, grid^3 * (3 + C)) float32.
+        empty: (B, M) bool (no neighbor at all).
+    """
+    idx, empty = ball_query(radius, nsample, support_xyz, queries_xyz,
+                            support_valid)
+    g = int(grid)
+    nb_xyz = jnp.take_along_axis(support_xyz[:, None], idx[..., None], axis=2)
+    rel = nb_xyz - queries_xyz[:, :, None, :]  # (B, M, S, 3)
+    nb_feat = jnp.take_along_axis(support_feat[:, None], idx[..., None], axis=2)
+
+    # slot mask: replicated padding slots must count once only — slot j is
+    # real iff it's the first occurrence of its index
+    first = idx[..., :1]
+    real = jnp.concatenate(
+        [jnp.ones(idx[..., :1].shape, bool), idx[..., 1:] != first], axis=-1
+    ) & (~empty)[..., None]
+
+    u = jnp.clip(((rel / radius + 1.0) * 0.5 * g).astype(jnp.int32), 0, g - 1)
+    cell = (u[..., 0] * g + u[..., 1]) * g + u[..., 2]  # (B, M, S)
+    onehot = jax.nn.one_hot(
+        jnp.where(real, cell, g ** 3), g ** 3, dtype=rel.dtype)  # (B,M,S,G3)
+    cnt = onehot.sum(axis=2)  # (B, M, G3)
+    inv = 1.0 / jnp.clip(cnt, 1.0, None)
+    mean_rel = jnp.einsum("bmsg,bmsc->bmgc", onehot, rel) * inv[..., None]
+    mean_feat = jnp.einsum("bmsg,bmsc->bmgc", onehot, nb_feat) * inv[..., None]
+    occupied = (cnt > 0)[..., None]
+    out = jnp.concatenate([mean_rel, mean_feat], axis=-1) * occupied
+    b, m = queries_xyz.shape[:2]
+    return out.reshape(b, m, -1).astype(jnp.float32), empty

@@ -159,3 +159,36 @@ def build_strided_neighbor_table(
     cand = jnp.concatenate([b, nb], axis=-1)
     keys = linearize_coords(cand, in_spatial_shape, valid=out_valid[:, None])
     return lookup(in_index, keys)  # (V_out, K)
+
+
+def build_inverse_neighbor_table(
+    fine_coords, fine_valid, coarse_index: VoxelIndex, coarse_spatial_shape,
+    kernel_size, stride, padding,
+):
+    """Neighbor rows (V_fine, K) into the COARSE feature array — the
+    transposed (inverse / deconv) direction of ``build_strided_neighbor_table``.
+
+    spconv's SparseInverseConv3d (ref: spconv_unet.py decoder) outputs on a
+    previously-known finer site set; here that set IS the encoder skip
+    stage, so no site generation is needed: for fine site f and kernel
+    offset j, the contributing coarse site is c = (f + p - j) / s where the
+    division is exact. -1 where absent or non-divisible.
+    """
+    ks = list(kernel_size)
+    st = list(stride)
+    pd = list(padding)
+    offs = _kernel_offsets(ks)  # (K, 3) zyx in [0, k)
+    k = offs.shape[0]
+    vf = fine_coords.shape[0]
+
+    s_zyx = jnp.asarray([st[2], st[1], st[0]])
+    p_zyx = jnp.asarray([pd[2], pd[1], pd[0]])
+    num = fine_coords[:, None, 1:4] + p_zyx - jnp.asarray(offs)[None]  # (Vf,K,3)
+    exact = jnp.all(num % s_zyx == 0, axis=-1) & jnp.all(num >= 0, axis=-1)
+    c = num // s_zyx
+    b = jnp.broadcast_to(fine_coords[:, None, 0:1], (vf, k, 1))
+    cand = jnp.concatenate([b, c], axis=-1)
+    keys = linearize_coords(
+        cand, coarse_spatial_shape, valid=exact & fine_valid[:, None]
+    )
+    return lookup(coarse_index, keys)  # (V_fine, K)

@@ -31,11 +31,14 @@ import numpy as np
 from ..core.index import (
     INVALID_KEY,
     VoxelIndex,
+    build_dense_row_table,
     build_index,
     delinearize_key,
     linearize_coords,
     lookup,
+    lookup_dense,
     unique_compact,
+    unique_compact_dense,
 )
 
 # Buffer ids for the two-window gather
@@ -144,6 +147,7 @@ def window_partition(
     spatial_shape,
     win_size,
     max_windows: int,
+    batch_size: Optional[int] = None,
 ):
     """Deduplicate non-empty windows into a fixed-capacity buffer.
 
@@ -152,15 +156,24 @@ def window_partition(
     windows come out sorted by (batch, x, y, z) key instead of atomic arrival
     order. Returns (win_coords (max_windows, 4) int32 (b,z,y,x) in *window*
     grid units, win_valid mask, new window grid shape, num_windows).
+
+    Sort-free: the window key space is small (grid/window volume), so dedup
+    is a dense occupancy scatter + cumsum compaction instead of the generic
+    sort-based ``unique_compact`` (XLA sorts are the slowest primitive on
+    TPU; this path was a top-3 cost in the round-1 profile).
     """
     wx, wy, wz = (int(s) for s in win_size)
     x_max, y_max, z_max = (int(s) for s in spatial_shape)
     win_grid = (x_max // wx, y_max // wy, z_max // wz)
-
     div = jnp.asarray([1, wz, wy, wx], jnp.int32)
     wcoords = coords // div  # batch col divided by 1
     wkeys = linearize_coords(wcoords, win_grid, valid)
-    out_keys, out_valid, num_windows = unique_compact(wkeys, max_windows)
+    if batch_size is not None:
+        n_cells = batch_size * win_grid[0] * win_grid[1] * win_grid[2]
+        out_keys, out_valid, num_windows = unique_compact_dense(
+            wkeys, max_windows, n_cells)
+    else:  # unknown batch bound → generic sort-based dedup
+        out_keys, out_valid, num_windows = unique_compact(wkeys, max_windows)
     win_coords = delinearize_key(out_keys, win_grid)
     return win_coords, out_valid, win_grid, num_windows
 
@@ -197,6 +210,8 @@ def gather_window_voxels(
     max_num_win2: Optional[int] = None,
     max_num_odd: Optional[int] = None,
     max_num_even: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    buffers: Optional[Tuple[str, ...]] = None,
 ):
     """Gather voxel rows + relative grid coords for every window, all scales.
 
@@ -225,7 +240,6 @@ def gather_window_voxels(
     wx, wy, wz = (int(s) for s in win1_size)
     x_max, y_max, z_max = (int(s) for s in spatial_shape)
     win_grid = (x_max // wx, y_max // wy, z_max // wz)
-    win_index = build_index(win_coords, win_valid, win_grid)
 
     ws = jnp.asarray(ws_np)
     vox_xyz = coords[:, [3, 2, 1]]
@@ -234,7 +248,14 @@ def gather_window_voxels(
     b = jnp.broadcast_to(coords[:, 0:1, None], (v, d, 1))
     cand = jnp.concatenate([b[..., 0:1], cand_w[..., ::-1]], axis=-1)  # bzyx
     wkeys = linearize_coords(cand, win_grid, valid=valid[:, None])
-    win_row = lookup(win_index, wkeys)  # (V, D)
+    if batch_size is not None:
+        # small window-grid key space → dense O(1) table beats binary search
+        win_table = build_dense_row_table(
+            win_coords, win_valid, win_grid, batch_size)
+        win_row = lookup_dense(win_table, wkeys)  # (V, D)
+    else:
+        win_index = build_index(win_coords, win_valid, win_grid)
+        win_row = lookup(win_index, wkeys)  # (V, D)
 
     offset = vox_xyz[:, None, :] - (cand_w * ws + ws // 2)  # (V, D, 3) xyz
     rel = offset - jnp.asarray(tables.off_min)
@@ -244,11 +265,16 @@ def gather_window_voxels(
     k = jnp.asarray(tables.pos_lut)[rel_c[..., 0], rel_c[..., 1], rel_c[..., 2]]
     ok = (win_row >= 0) & in_box & (k >= 0) & valid[:, None]
 
-    # sort candidate pairs by (window, table position): same window
-    # contiguous, ordered by k — the reference's traversal order. (A dense
-    # (NW, K) scatter+cumsum variant was measured 10x slower at Waymo scale:
-    # it touches all 15.5M window-offset cells, the sort only the ~810k
-    # candidates.)
+    # Fill-slot assignment WITHOUT a sort. Per window the reference walks the
+    # offset table in order k = 0..K-1, appending hits to each buffer until
+    # capacity (ms_sparse_attention_gpu.cu:227-347). Equivalent dense form:
+    # scatter the candidate hits into a (NW, K) occupancy table ((window,
+    # table-position) pairs are unique — one grid cell holds one voxel), take
+    # an exclusive cumsum along k per eligibility column (= each hit's rank
+    # in its window's traversal), and scatter each candidate straight to its
+    # capacity slot. All unique-index scatters + VPU scans; this replaced an
+    # 810k-element argsort that dominated the whole backbone (~450ms of a
+    # 489ms block at Waymo scale — XLA sort on TPU is a bitonic network).
     big = jnp.iinfo(jnp.int32).max
     # static capacity check (mirrors _check_key_capacity for voxel keys):
     # nw and k_total are trace-time constants, so this is free at runtime
@@ -258,58 +284,107 @@ def gather_window_voxels(
             f"k_total={k_total} = {nw * k_total} >= 2**31-1; reduce "
             "max_num_wins or the win2 table size"
         )
-    entry_key = jnp.where(ok, win_row * k_total + jnp.clip(k, 0), big).reshape(-1)
-    order = jnp.argsort(entry_key)
-    s_key = entry_key[order]
-    s_ok = s_key != big
-    s_win = jnp.where(s_ok, s_key // k_total, nw)
-    s_k = jnp.where(s_ok, s_key % k_total, 0)
+    flat_ok = ok.reshape(-1)
+    flat_win = win_row.reshape(-1)
+    flat_k = jnp.clip(k, 0).reshape(-1)
+    n_cand = flat_ok.shape[0]
+    cand_ar = jnp.arange(n_cand, dtype=jnp.int32)
+    # rejected candidates get DISTINCT out-of-bounds cells so the whole index
+    # vector is honestly unique (mode="drop" discards them)
+    cell = jnp.where(flat_ok, flat_win * k_total + flat_k,
+                     nw * k_total + cand_ar)
     vox_rows = jnp.broadcast_to(
         jnp.arange(v, dtype=jnp.int32)[:, None], (v, d)
     ).reshape(-1)
-    s_vox = vox_rows[order]
 
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), s_win[1:] != s_win[:-1]]
-    )
+    occ = jnp.zeros((nw * k_total,), bool).at[cell].set(
+        True, mode="drop", unique_indices=True
+    ).reshape(nw, k_total)
 
     elig_tab = jnp.asarray(tables.eligibility)  # (K, 4)
     offs_tab = jnp.asarray(tables.offsets)  # (K, 3)
-    s_off = offs_tab[s_k]
+    cand_elig = elig_tab[flat_k]  # (n_cand, 4)
+    cand_off = offs_tab[flat_k]  # (n_cand, 3)
 
-    n_entries = s_key.shape[0]
-    idx_arange = jnp.arange(n_entries, dtype=jnp.int32)
+    def _exclusive_scan(x):
+        """Exclusive prefix sum along axis 1 by log-step doubling.
 
-    def fill(col, capacity):
-        elig = s_ok & elig_tab[s_k, col]
-        csum = jnp.cumsum(elig)
-        excl = csum - elig
-        # segment base via one scatter + one gather (first occurrence of each
-        # window records its exclusive-cumsum; associative_scan lowered to a
-        # pathologically slow XLA:CPU compile)
-        seg_base = jnp.zeros((nw + 1,), excl.dtype).at[
-            jnp.where(first, s_win, nw)
-        ].set(excl, mode="drop")
-        rank = excl - seg_base[jnp.clip(s_win, 0, nw)]
-        keep = elig & (rank < capacity)
-        dest = jnp.where(keep, s_win * capacity + rank, nw * capacity)
-        ind = jnp.full((nw * capacity,), -1, jnp.int32).at[dest].set(
-            s_vox, mode="drop"
-        ).reshape(nw, capacity)
-        coord = jnp.zeros((nw * capacity, 3), jnp.int32).at[dest].set(
-            s_off, mode="drop"
-        ).reshape(nw, capacity, 3)
-        return {"ind": ind, "coord": coord, "mask": ind < 0}
+        jnp.cumsum lowers to an O(n*window) reduce-window on the TPU lane
+        axis; ten shifted adds are cheap VPU passes.
+        """
+        n = x.shape[1]
+        # shift right by 1 → exclusive
+        x = jnp.pad(x, ((0, 0), (1, 0)))[:, :n]
+        shift = 1
+        while shift < n:
+            x = x + jnp.pad(x, ((0, 0), (shift, 0)))[:, :n]
+            shift *= 2
+        return x
 
+    # Scatter/gather ops on TPU are descriptor-rate bound, so minimize the
+    # number of scattered/gathered ELEMENTS: (a) build only the buffers the
+    # caller consumes (a block needs one chessboard side + win1 + win2, not
+    # all four); (b) the per-column ranks ride ONE packed-int gather;
+    # (c) each buffer is ONE packed (vox_row, table_k) scatter, with the
+    # slot offsets recovered from the tiny (K, 3) table afterwards.
     if tables.single_scale:
-        return {"win1": fill(WIN1, max_num_win1)}
+        caps = {"win1": max_num_win1}
+        cols = {"win1": WIN1}
+        names = ("win1",)
+    else:
+        assert max_num_win2 is not None
+        caps = {
+            "odd": tables.num_odd if max_num_odd is None else max_num_odd,
+            "even": tables.num_even if max_num_even is None else max_num_even,
+            "win1": max_num_win1,
+            "win2": max_num_win2,
+        }
+        cols = {"odd": ODD, "even": EVEN, "win1": WIN1, "win2": WIN2}
+        names = tuple(buffers) if buffers is not None else (
+            "odd", "even", "win1", "win2")
 
-    assert max_num_win2 is not None
-    caps = {
-        "odd": tables.num_odd if max_num_odd is None else max_num_odd,
-        "even": tables.num_even if max_num_even is None else max_num_even,
-        "win1": max_num_win1,
-        "win2": max_num_win2,
-    }
-    cols = {"odd": ODD, "even": EVEN, "win1": WIN1, "win2": WIN2}
-    return {name: fill(col, caps[name]) for name, col in cols.items()}
+    rank_bits = max(int(np.ceil(np.log2(k_total + 1))), 1)
+    pack_ranks = len(names) * rank_bits <= 31
+    if pack_ranks:
+        packed = jnp.zeros((nw, k_total), jnp.int32)
+        for j, name in enumerate(names):
+            hits = occ & elig_tab[None, :, cols[name]]
+            packed = packed | (
+                _exclusive_scan(hits.astype(jnp.int32)) << (rank_bits * j))
+        prank = packed.reshape(-1)[jnp.clip(cell, 0, nw * k_total - 1)]
+    else:
+        rank_list = []
+        for name in names:
+            hits = occ & elig_tab[None, :, cols[name]]
+            rank_list.append(_exclusive_scan(hits.astype(jnp.int32)).reshape(
+                -1)[jnp.clip(cell, 0, nw * k_total - 1)])
+
+    k_bits = rank_bits  # same bound: table position < k_total
+    pack_vals = (v << k_bits) < jnp.iinfo(jnp.int32).max
+    out = {}
+    for j, name in enumerate(names):
+        capacity = int(caps[name])
+        if pack_ranks:
+            rank = (prank >> (rank_bits * j)) & ((1 << rank_bits) - 1)
+        else:
+            rank = rank_list[j]
+        keep = flat_ok & cand_elig[:, cols[name]] & (rank < capacity)
+        dest = jnp.where(keep, flat_win * capacity + rank,
+                         nw * capacity + cand_ar)
+        if pack_vals:
+            packed_val = (vox_rows << k_bits) | flat_k
+            buf = jnp.full((nw * capacity,), -1, jnp.int32).at[dest].set(
+                packed_val, mode="drop", unique_indices=True
+            ).reshape(nw, capacity)
+            ind = jnp.where(buf >= 0, buf >> k_bits, -1)
+            slot_k = jnp.where(buf >= 0, buf & ((1 << k_bits) - 1), 0)
+            coord = offs_tab[slot_k] * (buf >= 0)[..., None]
+        else:
+            ind = jnp.full((nw * capacity,), -1, jnp.int32).at[dest].set(
+                vox_rows, mode="drop", unique_indices=True
+            ).reshape(nw, capacity)
+            coord = jnp.zeros((nw * capacity, 3), jnp.int32).at[dest].set(
+                cand_off, mode="drop", unique_indices=True
+            ).reshape(nw, capacity, 3)
+        out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+    return out

@@ -18,14 +18,41 @@ from ..parallel.mesh import make_sharded_eval_step, shard_batch_for_mesh
 from ..utils.eval_ap import kitti_style_eval
 
 
+def _frame_recall(pred_boxes, gt_boxes, thresh_list):
+    """Recalled-GT counts at each IoU threshold for one frame
+    (ref: detector3d_template.py:286-328 generate_recall_record)."""
+    import jax
+
+    from ..ops.box_ops import pairwise_iou_3d
+
+    n_gt = len(gt_boxes)
+    counts = {t: 0 for t in thresh_list}
+    if n_gt == 0:
+        return counts, 0
+    if len(pred_boxes) == 0:
+        return counts, n_gt
+    with jax.default_device(jax.devices("cpu")[0]):
+        iou = np.asarray(pairwise_iou_3d(
+            np.asarray(pred_boxes[:, :7], np.float32),
+            np.asarray(gt_boxes[:, :7], np.float32),
+        ))
+    best = iou.max(axis=0)  # per-GT best IoU
+    for t in thresh_list:
+        counts[t] = int((best > t).sum())
+    return counts, n_gt
+
+
 def eval_one_epoch(
     model, params, batch_stats, loader, mesh, class_names,
     logger=None, result_dir=None, save_to_file=False,
+    recall_thresh_list=(0.3, 0.5, 0.7),
 ):
     eval_step = make_sharded_eval_step(model, mesh)
     batch_size = loader.batch_size
 
     det_frames, gt_frames = [], []
+    recall_acc = {t: 0 for t in recall_thresh_list}
+    gt_total = 0
     n_frames = 0
     t_total = 0.0
     for batch in loader:
@@ -54,6 +81,13 @@ def eval_one_epoch(
                 "boxes": gt[b][gvalid][:, :7],
                 "labels": gt[b][gvalid][:, -1].astype(np.int64),
             })
+            counts, n_gt = _frame_recall(
+                det_frames[-1]["boxes"], gt_frames[-1]["boxes"],
+                recall_thresh_list,
+            )
+            for t in recall_thresh_list:
+                recall_acc[t] += counts[t]
+            gt_total += n_gt
             n_frames += 1
 
     sec_per_example = t_total / max(n_frames, 1)
@@ -71,6 +105,12 @@ def eval_one_epoch(
 
     report, metrics = kitti_style_eval(det_frames, gt_frames, class_names)
     metrics["sec_per_example"] = sec_per_example
+    for t in recall_thresh_list:
+        r = recall_acc[t] / max(gt_total, 1)
+        metrics[f"recall/rcnn_{t}"] = r
+        if logger:
+            logger.info(f"recall_rcnn_{t}: {r:.4f} "
+                        f"({recall_acc[t]}/{gt_total})")
     if logger:
         logger.info("\n" + report)
     return metrics, det_frames

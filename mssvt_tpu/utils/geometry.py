@@ -42,6 +42,30 @@ def boxes_to_corners_3d(boxes):
     return out + boxes[:, None, 0:3]
 
 
+def points_in_boxes_numpy(points, boxes):
+    """(N, 3) x (M, 7) → (N, M) bool membership matrix.
+
+    Host equivalent of ``points_in_boxes_gpu``
+    (ref: ops/roiaware_pool3d/src/roiaware_pool3d_kernel.cu:313), used by
+    GT-database creation (ref: waymo_dataset.py:363-366).
+    """
+    if len(boxes) == 0:
+        return np.zeros((len(points), 0), bool)
+    xyz = points[:, :3]
+    local = xyz[:, None, :] - boxes[None, :, 0:3]  # (N, M, 3)
+    cosa = np.cos(-boxes[:, 6])
+    sina = np.sin(-boxes[:, 6])
+    lx = local[..., 0] * cosa[None] - local[..., 1] * sina[None]
+    ly = local[..., 0] * sina[None] + local[..., 1] * cosa[None]
+    lz = local[..., 2]
+    half = boxes[:, 3:6] / 2
+    return (
+        (np.abs(lx) <= half[None, :, 0])
+        & (np.abs(ly) <= half[None, :, 1])
+        & (np.abs(lz) <= half[None, :, 2])
+    )
+
+
 def mask_points_in_boxes(points, boxes, margin=0.0):
     """Boolean (N,) mask of points inside any of the (M, 7) boxes.
 

@@ -102,3 +102,76 @@ def test_sharded_train_step_runs_and_syncs():
                         jax.tree_util.tree_leaves(params_before))
     )
     assert diff > 0
+
+
+def test_grad_sync_matches_single_device_big_batch():
+    """Numerical DDP equivalence (round-1 verdict item 8): an n-device
+    sharded step == the single-device step on the concatenated batch, to
+    float tolerance, after 2 steps — the pmean-of-grads IS the big-batch
+    gradient for a mean-reduced per-sample loss."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    class Toy(nn.Module):
+        """Minimal model conforming to the train-step contract."""
+
+        @nn.compact
+        def __call__(self, batch, train=False, **kw):
+            x = batch["voxels"].reshape(batch["gt_boxes"].shape[0], -1)
+            h = nn.Dense(16)(x)
+            pred = nn.Dense(8)(nn.tanh(h))
+            tgt = batch["gt_boxes"].reshape(pred.shape[0], -1)[:, :8]
+            loss = jnp.mean((pred - tgt) ** 2)
+            return {"loss": loss, "tb_dict": {"loss": loss}}
+
+    n_dev = 4
+    per_dev = 1
+    bs = n_dev * per_dev
+    rng = np.random.default_rng(3)
+    batch = {
+        "voxels": rng.normal(size=(bs * 4, 2, 5)).astype(np.float32),
+        "voxel_num_points": np.ones((bs * 4,), np.float32),
+        "voxel_coords": np.zeros((bs * 4, 4), np.int32),
+        "voxel_valid": np.ones((bs * 4,), bool),
+        "gt_boxes": rng.normal(size=(bs, 2, 8)).astype(np.float32),
+        "batch_size": bs,
+    }
+
+    model = Toy()
+    mesh = make_mesh(n_dev)
+    sharded = shard_batch_for_mesh(batch, mesh, bs)
+    one_dev = jax.tree_util.tree_map(lambda x: x[0], sharded)
+    variables = model.init(jax.random.PRNGKey(0), one_dev, train=True)
+    params0 = variables["params"]
+
+    tx = optax.adam(1e-2)
+
+    # --- sharded: 2 steps over the 4-device mesh
+    step = make_sharded_train_step(model, tx, mesh)
+    p = jax.device_get(params0)
+    st = tx.init(params0)
+    p1, _, st1, l1, _ = step(jax.device_get(params0), {}, st, sharded,
+                             jax.random.PRNGKey(1))
+    p2, _, _, l2, _ = step(p1, {}, st1, sharded, jax.random.PRNGKey(2))
+    p2 = jax.device_get(p2)
+
+    # --- single device: the same 2 steps on the full batch
+    def loss_fn(params):
+        full = {
+            "voxels": batch["voxels"],
+            "gt_boxes": batch["gt_boxes"],
+        }
+        return model.apply({"params": params}, full, train=True)["loss"]
+
+    sp = p
+    sst = tx.init(params0)
+    for _ in range(2):
+        g = jax.grad(loss_fn)(sp)
+        upd, sst = tx.update(g, sst, sp)
+        sp = jax.tree_util.tree_map(lambda a, b: a + b, sp, upd)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -1,0 +1,325 @@
+"""e2e forward + loss + grad tests for the PV-RCNN and PointRCNN families
+(round-1 verdict item 3: these were registered dead code; now exercised).
+
+Ref parity targets: pcdet/models/detectors/{pv_rcnn.py, point_rcnn.py},
+detectors/__init__.py:14-27 (registry).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from mssvt_tpu.models import build_network
+from mssvt_tpu.utils.edict import EasyDict
+
+GRID = (32, 32, 32)
+VOXEL_SIZE = (0.4, 0.4, 0.125)
+PC_RANGE = (0.0, -6.4, -2.0, 12.8, 6.4, 2.0)
+MAX_VOXELS = 256
+MAX_POINTS = 512
+BATCH = 2
+MAX_GT = 8
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def anchor_head_cfg():
+    return {
+        "NAME": "AnchorHeadSingle",
+        "CLASS_AGNOSTIC": False,
+        "USE_DIRECTION_CLASSIFIER": True,
+        "DIR_OFFSET": 0.78539,
+        "NUM_DIR_BINS": 2,
+        "ANCHOR_GENERATOR_CONFIG": [
+            {
+                "class_name": "Car",
+                "anchor_sizes": [[3.9, 1.6, 1.56]],
+                "anchor_rotations": [0, 1.57],
+                "anchor_bottom_heights": [-1.78],
+                "align_center": False,
+                "feature_map_stride": 8,
+                "matched_threshold": 0.6,
+                "unmatched_threshold": 0.45,
+            },
+        ],
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+            "cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
+            "code_weights": [1.0] * 7,
+        }},
+    }
+
+
+def roi_nms_cfg():
+    return {
+        "TRAIN": {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.8,
+                  "NMS_PRE_MAXSIZE": 64, "NMS_POST_MAXSIZE": 16},
+        "TEST": {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.7,
+                 "NMS_PRE_MAXSIZE": 64, "NMS_POST_MAXSIZE": 16},
+    }
+
+
+def pvrcnn_cfg(sample_method="FPS"):
+    return EasyDict({
+        "NAME": "PVRCNN",
+        "MAX_POINTS": MAX_POINTS,
+        "VFE": {"NAME": "MeanVFE"},
+        "BACKBONE_3D": {"NAME": "VoxelBackBone8x",
+                        "NUM_FILTERS": [8, 16, 16, 16], "OUT_CHANNELS": 32},
+        "BACKBONE_2D": {
+            "NAME": "BaseBEVBackbone",
+            "LAYER_NUMS": [2, 2], "LAYER_STRIDES": [1, 2],
+            "NUM_FILTERS": [16, 32],
+            "UPSAMPLE_STRIDES": [1, 2], "NUM_UPSAMPLE_FILTERS": [16, 16],
+        },
+        "DENSE_HEAD": anchor_head_cfg(),
+        "PFE": {
+            "NAME": "VoxelSetAbstraction",
+            "NUM_KEYPOINTS": 64,
+            "NUM_OUTPUT_FEATURES": 32,
+            "SAMPLE_METHOD": sample_method,
+            "SPC_SAMPLING": {"NUM_SECTORS": 4, "SAMPLE_RADIUS_WITH_ROI": 2.4},
+            "SA_LAYER": {
+                "raw_points": {"POOL_RADIUS": [0.8], "NSAMPLE": [8],
+                               "MLPS": [[8, 8]]},
+                "x_conv_out": {"POOL_RADIUS": [1.6], "NSAMPLE": [8],
+                               "MLPS": [[16, 16]]},
+            },
+        },
+        "POINT_HEAD": {"NAME": "PointHeadSimple", "CLS_FC": [16]},
+        "ROI_HEAD": {
+            "NAME": "PVRCNNHead",
+            "GRID_SIZE": 3,
+            "SHARED_FC": [32],
+            "DP_RATIO": 0.3,
+            "ROI_GRID_POOL": {"POOL_RADIUS": [0.8], "NSAMPLE": [8],
+                              "MLPS": [[16, 16]]},
+            "NMS_CONFIG": roi_nms_cfg(),
+            "TARGET_CONFIG": {"ROI_PER_IMAGE": 16},
+        },
+        "POST_PROCESSING": {"SCORE_THRESH": 0.1},
+    })
+
+
+def pointrcnn_cfg():
+    return EasyDict({
+        "NAME": "PointRCNN",
+        "MAX_POINTS": MAX_POINTS,
+        "BACKBONE_3D": {
+            "NAME": "PointNet2MSG",
+            "SA_CONFIG": {
+                "NPOINTS": [128, 32],
+                "RADIUS": [[0.4, 0.8], [0.8, 1.6]],
+                "NSAMPLE": [[8, 8], [8, 8]],
+                "MLPS": [[[8, 8], [8, 8]], [[16, 16], [16, 16]]],
+            },
+            "FP_MLPS": [[16, 16], [16, 16]],
+        },
+        "POINT_HEAD": {
+            "NAME": "PointHeadBox", "CLS_FC": [16], "REG_FC": [16],
+            "MEAN_SIZES": [[3.9, 1.6, 1.56]],
+        },
+        "ROI_HEAD": {
+            "NAME": "PointRCNNHead",
+            "NUM_SAMPLED_POINTS": 32,
+            "XYZ_UP_LAYER": [[16, 16]],
+            "SHARED_FC": [32],
+            "NMS_CONFIG": roi_nms_cfg(),
+            "TARGET_CONFIG": {"ROI_PER_IMAGE": 16},
+        },
+        "POST_PROCESSING": {"SCORE_THRESH": 0.1},
+    })
+
+
+def make_batch(rng):
+    cap = BATCH * MAX_VOXELS
+    coords = np.unique(np.stack([
+        rng.integers(0, BATCH, cap * 2),
+        rng.integers(0, GRID[2], cap * 2),
+        rng.integers(0, GRID[1] // 2, cap * 2),
+        rng.integers(0, GRID[0] // 2, cap * 2),
+    ], 1), axis=0)
+    pad = np.full((cap, 4), -1, np.int32)
+    valid = np.zeros((cap,), bool)
+    for b in range(BATCH):
+        cb = coords[coords[:, 0] == b][:MAX_VOXELS]
+        lo = b * MAX_VOXELS
+        pad[lo:lo + len(cb)] = cb
+        valid[lo:lo + len(cb)] = True
+    voxels = rng.normal(size=(cap, 4, 4)).astype(np.float32) * valid[:, None, None]
+
+    pcap = BATCH * MAX_POINTS
+    pts = np.zeros((pcap, 4), np.float32)
+    pts_valid = np.zeros((pcap,), bool)
+    for b in range(BATCH):
+        n = MAX_POINTS - 17 * b  # exercise ragged validity
+        lo = b * MAX_POINTS
+        pts[lo:lo + n, 0] = rng.uniform(PC_RANGE[0], PC_RANGE[3], n)
+        pts[lo:lo + n, 1] = rng.uniform(PC_RANGE[1], PC_RANGE[4], n)
+        pts[lo:lo + n, 2] = rng.uniform(PC_RANGE[2], PC_RANGE[5], n)
+        pts[lo:lo + n, 3] = rng.uniform(0, 1, n)
+        pts_valid[lo:lo + n] = True
+
+    gt = np.zeros((BATCH, MAX_GT, 8), np.float32)
+    for b in range(BATCH):
+        gt[b, 0] = [5, 0, -1, 3.9, 1.6, 1.56, 0.3, 1]
+        gt[b, 1] = [9, 3, -1, 3.9, 1.6, 1.56, -0.5, 1]
+    return {
+        "voxels": voxels,
+        "voxel_num_points": np.full(cap, 3.0, np.float32) * valid,
+        "voxel_coords": pad,
+        "voxel_valid": valid,
+        "points": pts,
+        "points_valid": pts_valid,
+        "gt_boxes": gt,
+    }
+
+
+@pytest.mark.parametrize("which", ["pvrcnn", "pvrcnn_spc", "pointrcnn"])
+def test_two_stage_forward_and_loss(which, rng):
+    if which == "pointrcnn":
+        cfg = pointrcnn_cfg()
+    else:
+        cfg = pvrcnn_cfg("SPC" if which == "pvrcnn_spc" else "FPS")
+    model = build_network(
+        model_cfg=cfg, num_class=1, class_names=["Car"],
+        grid_size=GRID, voxel_size=VOXEL_SIZE, point_cloud_range=PC_RANGE,
+        batch_size=BATCH, max_voxels=MAX_VOXELS, max_points_per_voxel=4,
+    )
+    assert model.max_points == MAX_POINTS  # MODEL.MAX_POINTS plumbed
+    batch = make_batch(rng)
+    variables = jax.jit(
+        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=True)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
+
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert np.isfinite(np.asarray(out["final_boxes"])).all()
+    assert out["final_boxes"].shape[0] == BATCH
+
+    def loss_fn(params):
+        o, _ = model.apply({**variables, "params": params}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        return o["loss"]
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_sector_fps_and_roi_sampling():
+    """Op-level checks for the SPC sampling pieces (ref:
+    voxel_set_abstraction.py:45-121)."""
+    import jax.numpy as jnp
+
+    from mssvt_tpu.ops.sampling import (
+        gather_along_batch,
+        sample_points_with_roi,
+        sector_fps,
+    )
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-10, 10, (1, 256, 3)).astype(np.float32)
+    valid = np.ones((1, 256), bool)
+    valid[0, 200:] = False
+    pts[0, 200:] = 0
+
+    idx = sector_fps(jnp.asarray(pts), jnp.asarray(valid), 64, 4)
+    idx_np = np.asarray(idx)
+    assert idx_np.shape == (1, 64)
+    # all selected indices are valid points and mostly distinct
+    assert valid[0][idx_np[0]].all()
+    assert len(np.unique(idx_np[0])) >= 60
+    # sector coverage: every azimuth quadrant is represented
+    sel = np.asarray(gather_along_batch(jnp.asarray(pts), idx))[0]
+    az = np.arctan2(sel[:, 1], sel[:, 0])
+    quad = np.clip(((az + np.pi) / (2 * np.pi) * 4).astype(int), 0, 3)
+    assert len(np.unique(quad)) == 4
+
+    rois = np.zeros((1, 2, 7), np.float32)
+    rois[0, 0, :3] = [5, 5, 0]
+    rois[0, 0, 3:6] = [2, 2, 2]
+    rois[0, 1, 3:6] = [1, 1, 1]  # invalid (masked below)
+    roi_valid = np.array([[True, False]])
+    keep = np.asarray(sample_points_with_roi(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(rois),
+        jnp.asarray(roi_valid), sample_radius=1.0,
+    ))
+    d = np.linalg.norm(pts[0] - np.array([5, 5, 0]), axis=-1)
+    expect = valid[0] & (d < 1.0 + np.linalg.norm([2, 2, 2]) / 2)
+    np.testing.assert_array_equal(keep[0], expect)
+    # no valid ROI → mask unchanged
+    keep2 = np.asarray(sample_points_with_roi(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(rois),
+        jnp.asarray(np.zeros((1, 2), bool)), sample_radius=1.0,
+    ))
+    np.testing.assert_array_equal(keep2[0], valid[0])
+
+
+def test_vector_pool_oracle():
+    """vector_pool local-grid means vs brute force (ref:
+    vector_pool_gpu.cu:19-433)."""
+    import jax.numpy as jnp
+
+    from mssvt_tpu.ops.pointnet2 import vector_pool
+
+    rg = np.random.default_rng(5)
+    sx = rg.uniform(-3, 3, (1, 40, 3)).astype(np.float32)
+    sf = rg.normal(size=(1, 40, 4)).astype(np.float32)
+    sv = np.ones((1, 40), bool)
+    sv[0, 35:] = False
+    q = rg.uniform(-2, 2, (1, 5, 3)).astype(np.float32)
+    radius, ns, g = 1.5, 32, 2
+
+    pooled, empty = jax.jit(lambda a, b, c, d: vector_pool(
+        a, b, c, d, radius, ns, g))(
+        jnp.asarray(q), jnp.asarray(sx), jnp.asarray(sf), jnp.asarray(sv))
+    pooled = np.asarray(pooled).reshape(1, 5, g ** 3, 7)
+
+    for mi in range(5):
+        rel_all = sx[0] - q[0, mi]
+        inb = (np.sum(rel_all ** 2, -1) < radius ** 2) & sv[0]
+        if not inb.any():
+            assert np.asarray(empty)[0, mi]
+            continue
+        cells = {}
+        for pi in np.where(inb)[0][:ns]:
+            rel = rel_all[pi]
+            u = np.clip(((rel / radius + 1) * 0.5 * g).astype(int), 0, g - 1)
+            c = (u[0] * g + u[1]) * g + u[2]
+            cells.setdefault(c, []).append((rel, sf[0, pi]))
+        for c in range(g ** 3):
+            if c in cells:
+                rels = np.mean([r for r, _ in cells[c]], axis=0)
+                fs = np.mean([f for _, f in cells[c]], axis=0)
+                np.testing.assert_allclose(pooled[0, mi, c, :3], rels,
+                                           rtol=1e-4, atol=1e-5)
+                np.testing.assert_allclose(pooled[0, mi, c, 3:], fs,
+                                           rtol=1e-4, atol=1e-5)
+            else:
+                np.testing.assert_allclose(pooled[0, mi, c], 0, atol=1e-6)
+
+
+def test_pvrcnn_plusplus_vector_pool(rng):
+    """PVRCNNPlusPlus registry alias + vector-pool SA layer e2e."""
+    cfg = pvrcnn_cfg("SPC")
+    cfg["NAME"] = "PVRCNNPlusPlus"
+    cfg["PFE"]["SA_LAYER"]["x_conv_out"] = {
+        "NAME": "VectorPoolAggregationModuleMSG",
+        "GRID_SIZE": 2,
+        "POOL_RADIUS": [1.6], "NSAMPLE": [16], "MLPS": [[16, 16]],
+    }
+    model = build_network(
+        model_cfg=cfg, num_class=1, class_names=["Car"],
+        grid_size=GRID, voxel_size=VOXEL_SIZE, point_cloud_range=PC_RANGE,
+        batch_size=BATCH, max_voxels=MAX_VOXELS, max_points_per_voxel=4,
+    )
+    batch = make_batch(rng)
+    variables = jax.jit(
+        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=True)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert np.isfinite(np.asarray(out["final_boxes"])).all()

@@ -147,3 +147,73 @@ def test_model_family_forward_and_loss(which, rng):
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_anchor_head_multi_atss(rng):
+    """SECOND + AnchorHeadMulti grouped heads + ATSS assigner
+    (ref: anchor_head_multi.py:9-151, atss_target_assigner.py:7)."""
+    cfg = second_cfg()
+    cfg["DENSE_HEAD"] = {
+        "NAME": "AnchorHeadMulti",
+        "USE_DIRECTION_CLASSIFIER": True,
+        "DIR_OFFSET": 0.78539, "NUM_DIR_BINS": 2,
+        "SHARED_CONV_NUM_FILTER": 16,
+        "RPN_HEAD_CFGS": [
+            {"HEAD_CLS_NAME": ["Car"]},
+            {"HEAD_CLS_NAME": ["Pedestrian"]},
+        ],
+        "TARGET_ASSIGNER_CONFIG": {"NAME": "ATSSTargetAssigner", "TOPK": 9},
+        "ANCHOR_GENERATOR_CONFIG": [
+            {**anchor_head_cfg()["ANCHOR_GENERATOR_CONFIG"][0]},
+            {**anchor_head_cfg()["ANCHOR_GENERATOR_CONFIG"][0],
+             "class_name": "Pedestrian",
+             "anchor_sizes": [[0.8, 0.6, 1.73]],
+             "anchor_bottom_heights": [-0.6]},
+        ],
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+            "cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
+            "code_weights": [1.0] * 7,
+        }},
+    }
+    model = build_network(
+        model_cfg=cfg, num_class=2, class_names=["Car", "Pedestrian"],
+        grid_size=GRID, voxel_size=(0.4, 0.4, 0.5), point_cloud_range=PC_RANGE,
+        batch_size=BATCH, max_voxels=MAX_VOXELS, max_points_per_voxel=4,
+    )
+    batch = make_batch(rng, pillar=False)
+    variables = jax.jit(
+        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=False)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert np.isfinite(np.asarray(out["final_boxes"])).all()
+
+    def loss_fn(params):
+        o, _ = model.apply({**variables, "params": params}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        return o["loss"]
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_atss_assigner_adaptive_threshold():
+    """A GT centered exactly on an anchor must make that anchor positive."""
+    import jax.numpy as jnp
+    from mssvt_tpu.models.dense_heads.anchor_head import generate_anchors
+    from mssvt_tpu.models.dense_heads.anchor_head_multi import assign_atss_targets
+    from mssvt_tpu.utils.box_coder import ResidualCoder
+
+    cfgs = [anchor_head_cfg()["ANCHOR_GENERATOR_CONFIG"][0]]
+    anchors, _ = generate_anchors(cfgs, GRID, PC_RANGE, 8)
+    gt = np.zeros((4, 8), np.float32)
+    gt[0, :7] = anchors[10]
+    gt[0, 7] = 1
+    labels, reg_t, reg_w = assign_atss_targets(
+        jnp.asarray(anchors), jnp.asarray(gt), ResidualCoder())
+    labels = np.asarray(labels)
+    assert labels[10] == 1
+    assert labels.sum() < 20  # only a handful of positives
+    np.testing.assert_allclose(np.asarray(reg_t)[10], 0, atol=1e-5)

@@ -86,8 +86,15 @@ def test_window_partition_dedup(rng):
     pad[:60] = coords
     valid = np.arange(cap) < 60
     win_coords, win_valid, win_grid, num = window_partition(
-        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, max_windows=64
+        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, max_windows=64,
+        batch_size=2,
     )
+    # sort-based fallback must agree with the dense path
+    wc2, wv2, _, num2 = window_partition(
+        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, max_windows=64,
+    )
+    np.testing.assert_array_equal(np.asarray(win_coords), np.asarray(wc2))
+    assert int(num) == int(num2)
     win_coords, win_valid = np.asarray(win_coords), np.asarray(win_valid)
     assert win_grid == (SHAPE[0] // WIN1[0], SHAPE[1] // WIN1[1], SHAPE[2] // WIN1[2])
 
@@ -135,7 +142,9 @@ def _oracle_gather(voxels, win_coords, tables, caps, shape, win1):
 
 
 @pytest.mark.parametrize("two_scale", [False, True])
-def test_gather_matches_oracle(rng, two_scale):
+@pytest.mark.parametrize("dense", [False, True])
+def test_gather_matches_oracle(rng, two_scale, dense):
+    bs = 2 if dense else None  # dense O(1)-table path vs generic sort path
     n = 70
     voxels = make_voxels(rng, n)
     cap_v = 96
@@ -155,13 +164,14 @@ def test_gather_matches_oracle(rng, two_scale):
         got = gather_window_voxels(
             win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
             SHAPE, WIN1, tables, max_num_win1=20, max_num_win2=40,
+            batch_size=bs,
         )
     else:
         tables = build_query_tables(WIN1)
         caps = {"win1": 16}
         got = gather_window_voxels(
             win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
-            SHAPE, WIN1, tables, max_num_win1=16,
+            SHAPE, WIN1, tables, max_num_win1=16, batch_size=bs,
         )
 
     wc = np.asarray(win_coords)[np.asarray(win_valid)]

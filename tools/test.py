@@ -114,6 +114,8 @@ def main():
             model, p, bs, loader, mesh, cfg_.CLASS_NAMES,
             logger=logger, result_dir=eval_dir / f"epoch_{step}",
             save_to_file=args.save_to_file,
+            recall_thresh_list=tuple(cfg_.MODEL.get("POST_PROCESSING", {}).get(
+                "RECALL_THRESH_LIST", [0.3, 0.5, 0.7])),
         )
         return metrics
 
