@@ -107,11 +107,14 @@ def main():
         out = model.apply(variables, batch, train=False)
         return out["final_boxes"], out["final_scores"], out["final_mask"]
 
+    # warm with HOST READBACKS: on the axon platform block_until_ready can
+    # return before queued work completes, which silently pushes compile +
+    # warmup executions into the timed region (measured 20x inflation)
     t0 = time.time()
-    jax.block_until_ready(infer(variables, batch))
+    float(np.asarray(infer(variables, batch)[1]).sum())
     print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
     for s in scenes:  # warm every distinct input once
-        jax.block_until_ready(infer(variables, s))
+        float(np.asarray(infer(variables, s)[1]).sum())
 
     n_iter = 20
     t0 = time.time()

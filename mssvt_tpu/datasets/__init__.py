@@ -27,6 +27,14 @@ def build_dataset(dataset_cfg, class_names, training, root_path=None, logger=Non
             from .kitti import KittiDataset
 
             register_dataset("KittiDataset", KittiDataset)
+        elif name == "PandasetDataset":
+            from .pandaset import PandasetDataset
+
+            register_dataset("PandasetDataset", PandasetDataset)
+        elif name == "LyftDataset":
+            from .lyft import LyftDataset
+
+            register_dataset("LyftDataset", LyftDataset)
     cls = _DATASETS[name]
     return cls(
         dataset_cfg=dataset_cfg, class_names=class_names, training=training,

@@ -31,7 +31,63 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(launcher: str = "none", coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None, logger=None):
+    """Multi-host rendezvous (TPU analog of ref common_utils.py:134-174).
+
+    launcher:
+      - "none": single host (no-op).
+      - "jax": ``jax.distributed.initialize`` with env/auto detection — on
+        Cloud TPU pods the coordinator is discovered from the TPU metadata
+        (≙ the reference's pytorch env:// init).
+      - "slurm": derive coordinator/rank/world from SLURM_* variables
+        (≙ ref init_dist_slurm's scontrol-based MASTER_ADDR).
+
+    Returns (rank, world_size) as (process_index, process_count).
+    """
+    import os
+
+    if launcher == "none":
+        return 0, 1
+    if launcher == "slurm":
+        node_list = os.environ["SLURM_NODELIST"]
+        # first hostname in the (possibly compressed) node list, as the
+        # reference does via scontrol (common_utils.py:141-146)
+        import subprocess
+
+        addr = subprocess.getoutput(
+            f"scontrol show hostname {node_list} | head -n1").strip()
+        coordinator = coordinator or f"{addr}:12345"
+        num_processes = num_processes or int(os.environ["SLURM_NTASKS"])
+        process_id = process_id if process_id is not None else int(
+            os.environ["SLURM_PROCID"])
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes, process_id=process_id,
+        )
+    else:
+        assert launcher == "jax", launcher
+        kwargs = {}
+        if coordinator:
+            kwargs = dict(coordinator_address=coordinator,
+                          num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(**kwargs)
+    rank, world = jax.process_index(), jax.process_count()
+    if logger:
+        logger.info(f"distributed: rank {rank}/{world}")
+    return rank, world
+
+
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data mesh.
+
+    Multi-host note: ``jax.devices()`` after ``init_distributed`` returns
+    the GLOBAL device list ordered process-major, so the flat mesh keeps
+    each host's sub-batch on its own chips; the grad pmean rides ICI within
+    a slice and DCN across slices (XLA picks the collective path from the
+    device assignment — SURVEY.md §2.6's NCCL analog).
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:

@@ -45,6 +45,9 @@ def parse_config():
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--launcher", choices=["none", "jax", "slurm"],
+                        default="none")
+    parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--eval_after_train", action="store_true")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -83,15 +86,22 @@ def main():
     except ImportError:
         tb_log = None
 
+    from mssvt_tpu.parallel.mesh import init_distributed
+
+    rank, world_size = init_distributed(
+        args.launcher, coordinator=args.coordinator, logger=logger)
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
+    # batch_size is GLOBAL; each host feeds its local share (≙ the
+    # reference's per-GPU batch derivation, ref train.py:71-75)
     assert batch_size % n_dev == 0, (batch_size, n_dev)
     per_dev = batch_size // n_dev
 
     dataset, train_loader = build_dataloader(
         dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
-        batch_size=batch_size, training=True, workers=args.workers,
-        logger=logger,
+        batch_size=batch_size // world_size, training=True,
+        workers=args.workers, logger=logger, rank=rank,
+        world_size=world_size,
     )
 
     model = build_network(
