@@ -38,7 +38,7 @@ class SparseVoxels:
     features: jnp.ndarray
     coords: jnp.ndarray
     valid: jnp.ndarray
-    index: VoxelIndex
+    index: VoxelIndex | None
     batch_size: int = struct.field(pytree_node=False)
     spatial_shape: Tuple[int, int, int] = struct.field(pytree_node=False)
     voxel_size: Tuple[float, float, float] = struct.field(pytree_node=False)
@@ -46,9 +46,14 @@ class SparseVoxels:
 
     @classmethod
     def create(cls, features, coords, valid, batch_size, spatial_shape,
-               voxel_size, point_cloud_range) -> "SparseVoxels":
+               voxel_size, point_cloud_range,
+               with_index: bool = True) -> "SparseVoxels":
+        """``with_index=False`` skips the sorted-key index build (one argsort
+        over max_voxels) for consumers that only use dense window tables —
+        the MsSVT path; the sparse-conv engine needs the index."""
         spatial_shape = tuple(int(s) for s in spatial_shape)
-        index = build_index(coords, valid, spatial_shape)
+        index = build_index(coords, valid, spatial_shape) if with_index \
+            else None
         return cls(
             features=features,
             coords=coords,

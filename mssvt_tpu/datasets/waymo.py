@@ -37,6 +37,14 @@ class WaymoDataset(DatasetTemplate):
         )
         self.infos = []
         self.include_waymo_data(self.mode)
+        # host-RAM point-cloud cache ≙ the reference's /dev/shm SharedArray
+        # staging (ref: waymo_dataset.py:77-119). Single-process loaders on
+        # this runtime make a plain dict sufficient; capped by entry count.
+        self.use_shared_memory = bool(
+            dataset_cfg.get("USE_SHARED_MEMORY", False))
+        self.shared_memory_file_limit = int(
+            dataset_cfg.get("SHARED_MEMORY_FILE_LIMIT", 0x7FFFFFFF))
+        self._lidar_cache = {}
 
     def set_split(self, split):
         """Re-point the sequence list at another split (ref:
@@ -77,11 +85,17 @@ class WaymoDataset(DatasetTemplate):
 
     def get_lidar(self, sequence_name, sample_idx):
         """Ref: waymo_dataset.py:159-167 (npy load, NLZ filter, tanh intensity)."""
+        key = (sequence_name, sample_idx)
+        if self.use_shared_memory and key in self._lidar_cache:
+            return self._lidar_cache[key].copy()
         lidar_file = self.data_path / sequence_name / f"{sample_idx:04d}.npy"
         point_features = np.load(lidar_file)  # (N, 6): x, y, z, int, elong, nlz
         points_all, nlz_flag = point_features[:, 0:5], point_features[:, 5]
         points_all = points_all[nlz_flag == -1]
         points_all[:, 3] = np.tanh(points_all[:, 3])
+        if (self.use_shared_memory
+                and len(self._lidar_cache) < self.shared_memory_file_limit):
+            self._lidar_cache[key] = points_all.copy()
         return points_all
 
     def __getitem__(self, index):

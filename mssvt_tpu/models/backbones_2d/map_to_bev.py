@@ -71,3 +71,24 @@ class PointPillarScatter(nn.Module):
         b, _, y, x = (coords[:, i] for i in range(4))
         b = jnp.where(valid, b, batch_size)
         return out.at[b, y, x].set(pillar_features, mode="drop")
+
+
+class Conv2DCollapse(nn.Module):
+    """Collapse a dense (B, X, Y, Z, C) camera-voxel grid to BEV
+    (ref: map_to_bev/conv2d_collapse.py:7 — channel-stack z then 1x1 conv
+    with BasicBlock2D)."""
+
+    num_bev_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxel_features: jnp.ndarray, train: bool = False):
+        b, gx, gy, gz, c = voxel_features.shape
+        # (B, Y, X, Z*C): BEV layout matches SparseVoxels.bev()
+        x = jnp.transpose(voxel_features, (0, 2, 1, 3, 4)).reshape(
+            b, gy, gx, gz * c).astype(self.dtype)
+        x = nn.Conv(self.num_bev_features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="collapse_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype, name="collapse_bn")(x)
+        return nn.relu(x).astype(jnp.float32)

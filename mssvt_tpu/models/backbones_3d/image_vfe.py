@@ -1,0 +1,151 @@
+"""Camera-based voxel feature encoding (CaDDN's ImageVFE).
+
+Rebuild of ref pcdet/models/backbones_3d/vfe/image_vfe.py:7 +
+image_vfe_modules/{ffn/depth_ffn.py, f2v/frustum_to_voxel.py}:
+
+- :class:`DepthFFN`: image backbone → per-pixel categorical depth
+  distribution (D bins) + image features. The reference wraps a pretrained
+  torchvision DeepLabV3 (unavailable here); the TPU-native substitute is a
+  strided flax conv stack with the same output contract — swap in any
+  stronger flax backbone via ``num_blocks``/``channels``.
+- frustum features = depth_prob[..., None] * image_feat[..., None, :]
+  (outer product over depth bins, ref ffn/depth_ffn.py forward).
+- :class:`FrustumToVoxel`: every voxel center projects through the
+  lidar→camera→image calibration into (u, v, depth); its feature is the
+  bilinear sample of the frustum grid at that pixel, weighted by the
+  discretized depth bin (ref f2v/frustum_grid_generator.py + sampler.py —
+  their grid_sample collapses to one gather + lerp per voxel).
+
+Depth discretization: LID (linear-increasing, ref
+ffn/ddn_loss/balancer... transform_utils.bin_depths mode='LID').
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def bin_depths_lid(depth, depth_min, depth_max, num_bins):
+    """LID depth discretization (ref: utils/transform_utils.py:bin_depths).
+
+    LID: bin widths grow linearly; index = -0.5 + 0.5*sqrt(1 + 8(d-dmin)/w)
+    with w = 2(dmax-dmin)/(D(1+D)).
+    """
+    bin_size = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
+    # clamp BEFORE the sqrt: depths in front of depth_min would otherwise
+    # produce NaN, and NaN survives any downstream masking (NaN * 0 = NaN)
+    d = jnp.clip(depth, depth_min, depth_max)
+    idx = -0.5 + 0.5 * jnp.sqrt(1 + 8 * (d - depth_min) / bin_size)
+    return jnp.clip(idx, 0, num_bins - 1)
+
+
+class DepthFFN(nn.Module):
+    """Image → (frustum features, depth logits). Ref: ffn/depth_ffn.py."""
+
+    num_depth_bins: int
+    num_channels: int = 32
+    num_blocks: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        """images (B, H, W, 3) → feat (B, h, w, C), depth_logits
+        (B, h, w, D+1) at stride 2^num_blocks (last bin = 'beyond range',
+        ref ddn_template adds one)."""
+        x = images.astype(self.dtype)
+        c = self.num_channels
+        for i in range(self.num_blocks):
+            x = nn.Conv(c * (2 ** min(i, 2)), (3, 3), strides=(2, 2),
+                        use_bias=False, dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        feat = nn.Conv(self.num_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="feat_head")(x)
+        depth_logits = nn.Conv(self.num_depth_bins + 1, (1, 1),
+                               dtype=self.dtype, name="depth_head")(x)
+        return feat.astype(jnp.float32), depth_logits.astype(jnp.float32)
+
+
+class ImageVFE(nn.Module):
+    """Full camera branch: DepthFFN → frustum features → voxel grid.
+
+    Ref: vfe/image_vfe.py:7-60. Output: dense (B, X, Y, Z, C) voxel features
+    (channels-last; the BEV path collapses z).
+    """
+
+    model_cfg: Any
+    grid_size: Tuple[int, int, int]
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    downsample_factor: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, lidar_to_cam, cam_to_img, train: bool = False):
+        """images (B, H, W, 3); lidar_to_cam (B, 4, 4); cam_to_img (B, 3, 4)."""
+        cfg = self.model_cfg
+        ddn_cfg = cfg.get("FFN", {}).get("DDN_CFG", {})
+        disc = cfg.get("DISCRETIZE", {})
+        d_min = float(disc.get("DEPTH_MIN", 2.0))
+        d_max = float(disc.get("DEPTH_MAX", 46.8))
+        n_bins = int(disc.get("NUM_BINS", 80))
+
+        ffn = DepthFFN(
+            num_depth_bins=n_bins,
+            num_channels=int(ddn_cfg.get("NUM_CHANNELS", 32)),
+            num_blocks=int(ddn_cfg.get("NUM_BLOCKS", 3)),
+            dtype=self.dtype, name="ffn",
+        )
+        feat, depth_logits = ffn(images, train=train)
+        depth_prob = jax.nn.softmax(depth_logits, axis=-1)[..., :n_bins]
+        b, fh, fw, c = feat.shape
+        stride = images.shape[1] // fh
+
+        # voxel centers (X*Y*Z, 3) in lidar frame
+        gx, gy, gz = self.grid_size
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        mins = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        ii = jnp.arange(gx); jj = jnp.arange(gy); kk = jnp.arange(gz)
+        X, Y, Z = jnp.meshgrid(ii, jj, kk, indexing="ij")
+        centers = (jnp.stack([X, Y, Z], -1).reshape(-1, 3) + 0.5) * vs + mins
+
+        def sample_one(l2c, c2i, fmap, dprob):
+            ones = jnp.ones((centers.shape[0], 1), jnp.float32)
+            cam = (jnp.concatenate([centers, ones], -1) @ l2c.T)[:, :3]
+            img = (jnp.concatenate([cam, ones], -1) @ c2i.T)  # (N, 3)
+            depth = img[:, 2]
+            u = img[:, 0] / jnp.clip(depth, 1e-3) / stride
+            v = img[:, 1] / jnp.clip(depth, 1e-3) / stride
+            inb = ((u >= 0) & (u < fw - 1) & (v >= 0) & (v < fh - 1)
+                   & (depth > d_min) & (depth < d_max))
+            u0 = jnp.clip(u.astype(jnp.int32), 0, fw - 2)
+            v0 = jnp.clip(v.astype(jnp.int32), 0, fh - 2)
+            du = jnp.clip(u - u0, 0, 1)[:, None]
+            dv = jnp.clip(v - v0, 0, 1)[:, None]
+
+            def bilerp(grid):
+                g00 = grid[v0, u0]
+                g01 = grid[v0, u0 + 1]
+                g10 = grid[v0 + 1, u0]
+                g11 = grid[v0 + 1, u0 + 1]
+                return ((1 - dv) * ((1 - du) * g00 + du * g01)
+                        + dv * ((1 - du) * g10 + du * g11))
+
+            f = bilerp(fmap)  # (N, C)
+            dbin = bin_depths_lid(depth, d_min, d_max, n_bins)
+            b0 = jnp.clip(dbin.astype(jnp.int32), 0, n_bins - 1)
+            frac = (dbin - b0)[:, None]
+            p = bilerp(dprob)  # (N, D)
+            p0 = jnp.take_along_axis(p, b0[:, None], axis=1)
+            p1 = jnp.take_along_axis(
+                p, jnp.clip(b0 + 1, 0, n_bins - 1)[:, None], axis=1)
+            w = (1 - frac) * p0 + frac * p1  # (N, 1) depth-bin probability
+            return (f * w) * inb[:, None]
+
+        vox = jax.vmap(sample_one)(lidar_to_cam, cam_to_img, feat, depth_prob)
+        return vox.reshape(b, gx, gy, gz, c), depth_logits

@@ -133,9 +133,27 @@ class MsSVTBlock(nn.Module):
         q = g[q_name]
         win1b, win2b = g["win1"], g["win2"]
 
-        # --- FPS key selection per scale (ref :247-258)
-        k_ind1, k_mask1, fps1 = _fps_keys(win1b["ind"], win1b["coord"], self.key_num_sample)
-        k_ind2, k_mask2, fps2 = _fps_keys(win2b["ind"], win2b["coord"], self.key_num_sample)
+        # --- FPS key selection per scale (ref :247-258). Both scales ride
+        # ONE sequential FPS loop: the win1 buffer is padded to the win2
+        # capacity (-1 rows = zero coords, exactly the existing padding
+        # convention, masked afterwards) and stacked along the window axis —
+        # halving the number of latency-bound sequential iterations.
+        n1, n2 = win1b["ind"].shape[1], win2b["ind"].shape[1]
+        if n1 < n2:
+            pad_ind = jnp.pad(win1b["ind"], ((0, 0), (0, n2 - n1)),
+                              constant_values=-1)
+            pad_coord = jnp.pad(win1b["coord"], ((0, 0), (0, n2 - n1), (0, 0)))
+        else:
+            pad_ind, pad_coord = win1b["ind"], win1b["coord"]
+        both_ind = jnp.concatenate([pad_ind, win2b["ind"]], axis=0)
+        both_coord = jnp.concatenate([pad_coord, win2b["coord"]], axis=0)
+        k_ind, k_mask, fps = _fps_keys(both_ind, both_coord, self.key_num_sample)
+        nw = win1b["ind"].shape[0]
+        k_ind1, k_ind2 = k_ind[:nw], k_ind[nw:]
+        k_mask1, k_mask2 = k_mask[:nw], k_mask[nw:]
+        # fps1 may point at the pad slots (masked via k_ind<0); clip so the
+        # local gathers from the UNPADDED win1 buffers stay in bounds
+        fps1, fps2 = jnp.minimum(fps[:nw], n1 - 1), fps[nw:]
 
         # --- feature gathers (ref :260-268). Row gathers are index-rate
         # bound on TPU, so: win1 keys reuse the window's own buffer via a
@@ -323,6 +341,7 @@ class MsSVTCompressBlock(nn.Module):
             spatial_shape=win_grid,
             voxel_size=new_voxel_size,
             point_cloud_range=sp.point_cloud_range,
+            with_index=sp.index is not None,
         )
 
 

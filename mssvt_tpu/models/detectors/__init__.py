@@ -1,3 +1,4 @@
+from .caddn import CaDDN
 from .centerpoint import CenterPoint
 from .part_a2 import PartA2Net
 from .point_rcnn import PointRCNN
@@ -8,6 +9,7 @@ from .second_net_iou import SECONDNetIoU
 from .voxel_rcnn import VoxelRCNN
 
 __all__ = {
+    "CaDDN": CaDDN,
     "CenterPoint": CenterPoint,
     "PartA2": PartA2Net,
     "PointPillar": PointPillar,

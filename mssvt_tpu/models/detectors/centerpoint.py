@@ -104,6 +104,7 @@ class CenterPoint(nn.Module):
             spatial_shape=self.grid_size,
             voxel_size=self.voxel_size,
             point_cloud_range=self.point_cloud_range,
+            with_index=False,  # MsSVT uses dense window tables only
         )
         sp = self.backbone_3d(sp, deterministic=not train)
         spatial_features = self.map_to_bev(sp, train=train)

@@ -92,10 +92,20 @@ def draw_gaussians(heatmap_shape, centers, radii, class_ids, valid, max_radius: 
 
 
 def topk_heatmap(scores: jnp.ndarray, k: int):
-    """Two-stage top-K over (B, C, H, W), ref: centernet_utils.py:136-151."""
+    """Two-stage top-K over (B, C, H, W), ref: centernet_utils.py:136-151.
+
+    Stage 1 uses ``approx_max_k`` (recall 0.99): ``lax.top_k`` lowers to a
+    full bitonic sort on TPU (~10 ms/frame at Waymo heatmap sizes) while the
+    TPU-native approximate reduction is ~free; candidates it can miss are
+    deep-tail scores that NMS/score-threshold would drop anyway.
+    """
     b, num_class, h, w = scores.shape
     flat = scores.reshape(b, num_class, h * w)
-    topk_scores, topk_inds = jax.lax.top_k(flat, k)  # (B, C, K)
+    if flat.shape[-1] > 4 * k:
+        topk_scores, topk_inds = jax.lax.approx_max_k(
+            flat, k, recall_target=0.99, aggregate_to_topk=True)
+    else:
+        topk_scores, topk_inds = jax.lax.top_k(flat, k)  # (B, C, K)
     topk_ys = (topk_inds // w).astype(jnp.float32)
     topk_xs = (topk_inds % w).astype(jnp.float32)
 

@@ -44,9 +44,15 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     b, n, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
 
+    ar = jnp.arange(n, dtype=jnp.int32)
+
     def body(i, carry):
         min_dist, last, out = carry
-        last_xyz = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # (B,1,3)
+        # one-hot select instead of take_along_axis: a per-iteration gather
+        # inside the sequential loop is launch-overhead bound on TPU; the
+        # masked reduction is pure VPU work
+        sel = (ar[None, :] == last[:, None]).astype(xyz.dtype)  # (B, N)
+        last_xyz = jnp.einsum("bn,bnc->bc", sel, xyz)[:, None, :]  # (B,1,3)
         d = jnp.sum((xyz - last_xyz) ** 2, axis=-1)  # (B, N)
         min_dist = jnp.minimum(min_dist, d)
         nxt = jnp.argmax(min_dist, axis=1).astype(jnp.int32)
@@ -150,8 +156,15 @@ def gather_along_batch(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather (B, N, ...) values by (B, M) indices → (B, M, ...).
 
     Equivalent of ``gather_operation`` (sampling_gpu.cu:15) in channel-last
-    layout.
+    layout. Small source axes (window gather buffers, <= 256 slots) go
+    through a one-hot contraction — batched take_along_axis lowers to a
+    row-rate-bound gather (~50 ms/frame across the MsSVT blocks) while the
+    one-hot matmul is ~free on the MXU/VPU.
     """
+    n = values.shape[1]
+    if n <= 256 and jnp.issubdtype(values.dtype, jnp.floating):
+        onehot = jax.nn.one_hot(idx, n, dtype=values.dtype)  # (B, M, N)
+        return jnp.einsum("bmn,bn...->bm...", onehot, values)
     extra = values.ndim - 2
     ix = idx.reshape(idx.shape + (1,) * extra)
     return jnp.take_along_axis(values, ix, axis=1)
@@ -199,7 +212,20 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, known_valid=None):
         d2 = jnp.where(known_valid[:, None, :], d2, jnp.inf)
     m = known.shape[1]
     k_eff = min(3, m)
-    neg, idx = jax.lax.top_k(-d2, k_eff)
+    # 3 iterative masked argmins instead of top_k: lax.top_k lowers to a
+    # full sort on TPU (~13 ms/frame at window scale); three VPU reduction
+    # passes are ~free and give the same ascending-with-low-index-ties order
+    picked_d, picked_i = [], []
+    work = d2
+    mar = jnp.arange(m)
+    for _ in range(k_eff):
+        i_k = jnp.argmin(work, axis=-1)  # ties → lowest index
+        d_k = jnp.min(work, axis=-1)
+        picked_i.append(i_k)
+        picked_d.append(d_k)
+        work = jnp.where(mar == i_k[..., None], jnp.inf, work)
+    neg = -jnp.stack(picked_d, axis=-1)
+    idx = jnp.stack(picked_i, axis=-1)
     if k_eff < 3:
         # fewer than 3 candidates: pad like the CUDA kernel's untouched slots
         # (index 0, distance 1e40 — interpolate weight ~0 after normalization)

@@ -303,6 +303,20 @@ def gather_window_voxels(
 
     elig_tab = jnp.asarray(tables.eligibility)  # (K, 4)
     offs_tab = jnp.asarray(tables.offsets)  # (K, 3)
+    # offsets packed into ONE int32 channel (5-bit biased per axis): the
+    # (nw*cap, 3) small-table gather was 3x the traffic of a single-channel
+    # one; unpacking is free arithmetic
+    offs_np = np.asarray(tables.offsets, np.int64)
+    assert np.abs(offs_np).max() < 16, "offset exceeds 5-bit packing"
+    offs_packed = jnp.asarray(
+        (((offs_np[:, 0] + 16) << 10) | ((offs_np[:, 1] + 16) << 5)
+         | (offs_np[:, 2] + 16)).astype(np.int32))
+
+    def _unpack_off(p):
+        return jnp.stack([
+            ((p >> 10) & 31) - 16, ((p >> 5) & 31) - 16, (p & 31) - 16,
+        ], axis=-1).astype(jnp.int32)
+
     cand_elig = elig_tab[flat_k]  # (n_cand, 4)
     cand_off = offs_tab[flat_k]  # (n_cand, 3)
 
@@ -378,7 +392,7 @@ def gather_window_voxels(
             ).reshape(nw, capacity)
             ind = jnp.where(buf >= 0, buf >> k_bits, -1)
             slot_k = jnp.where(buf >= 0, buf & ((1 << k_bits) - 1), 0)
-            coord = offs_tab[slot_k] * (buf >= 0)[..., None]
+            coord = _unpack_off(offs_packed[slot_k]) * (buf >= 0)[..., None]
         else:
             ind = jnp.full((nw * capacity,), -1, jnp.int32).at[dest].set(
                 vox_rows, mode="drop", unique_indices=True

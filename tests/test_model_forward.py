@@ -204,3 +204,91 @@ def test_target_assignment_properties(model_and_batch):
     # loss components present and finite
     assert "rpn_loss" in out["tb_dict"]
     assert np.isfinite(float(out["loss"]))
+
+
+def test_caddn_camera_branch():
+    """CaDDN monocular pipeline e2e on synthetic calib
+    (ref: detectors/caddn.py + vfe/image_vfe.py + conv2d_collapse.py)."""
+    import jax
+    import numpy as np
+
+    from mssvt_tpu.models import build_network
+    from mssvt_tpu.utils.edict import EasyDict
+
+    grid = (16, 16, 4)
+    vs = (0.8, 0.8, 1.0)
+    pcr = (0.0, -6.4, -2.0, 12.8, 6.4, 2.0)
+    cfg = EasyDict({
+        "NAME": "CaDDN",
+        "VFE": {
+            "NAME": "ImageVFE",
+            "FFN": {"DDN_CFG": {"NUM_CHANNELS": 8, "NUM_BLOCKS": 2}},
+            "DISCRETIZE": {"DEPTH_MIN": 2.0, "DEPTH_MAX": 20.0,
+                           "NUM_BINS": 16},
+            "LOSS_WEIGHT": 3.0,
+        },
+        "MAP_TO_BEV": {"NAME": "Conv2DCollapse", "NUM_BEV_FEATURES": 16},
+        "BACKBONE_2D": {
+            "NAME": "BaseBEVBackbone",
+            "LAYER_NUMS": [2], "LAYER_STRIDES": [2],
+            "NUM_FILTERS": [16],
+            "UPSAMPLE_STRIDES": [2], "NUM_UPSAMPLE_FILTERS": [16],
+        },
+        "DENSE_HEAD": {
+            "NAME": "AnchorHeadSingle",
+            "USE_DIRECTION_CLASSIFIER": False,
+            "ANCHOR_GENERATOR_CONFIG": [{
+                "class_name": "Car",
+                "anchor_sizes": [[3.9, 1.6, 1.56]],
+                "anchor_rotations": [0, 1.57],
+                "anchor_bottom_heights": [-1.78],
+                "align_center": False, "feature_map_stride": 1,
+                "matched_threshold": 0.6, "unmatched_threshold": 0.45,
+            }],
+            "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+                "cls_weight": 1.0, "loc_weight": 2.0,
+                "code_weights": [1.0] * 7}},
+        },
+        "POST_PROCESSING": {
+            "SCORE_THRESH": 0.1,
+            "NMS_CONFIG": {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.7,
+                           "NMS_PRE_MAXSIZE": 32, "NMS_POST_MAXSIZE": 16},
+        },
+    })
+    model = build_network(
+        model_cfg=cfg, num_class=1, class_names=["Car"],
+        grid_size=grid, voxel_size=vs, point_cloud_range=pcr,
+        batch_size=1, max_voxels=64, max_points_per_voxel=1,
+    )
+    rng = np.random.default_rng(0)
+    l2c = np.eye(4, dtype=np.float32)[None]
+    # camera looks down lidar +x: cam z = lidar x
+    l2c[0, :3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    c2i = np.zeros((1, 3, 4), np.float32)
+    c2i[0, 0, 0] = c2i[0, 1, 1] = 30.0  # focal
+    c2i[0, 0, 2], c2i[0, 1, 2] = 32.0, 24.0  # principal point
+    c2i[0, 2, 2] = 1.0
+    batch = {
+        "images": rng.uniform(0, 1, (1, 48, 64, 3)).astype(np.float32),
+        "trans_lidar_to_cam": l2c,
+        "trans_cam_to_img": c2i,
+        "depth_maps": rng.uniform(2, 18, (1, 48, 64)).astype(np.float32),
+        "gt_boxes": np.array(
+            [[[6, 0, -1, 3.9, 1.6, 1.56, 0.2, 1]]], np.float32),
+    }
+    variables = jax.jit(
+        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=True)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert np.isfinite(np.asarray(out["final_boxes"])).all()
+
+    def loss_fn(params):
+        o, _ = model.apply({**variables, "params": params}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        return o["loss"]
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
