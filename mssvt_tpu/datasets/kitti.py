@@ -155,3 +155,149 @@ class KittiDataset(DatasetTemplate):
         from ..utils.eval_ap import kitti_style_eval
 
         return kitti_style_eval(det_annos, kwargs["gt_annos"], class_names)
+
+    # ------------------------- data preparation ------------------------- #
+
+    def get_infos(self, has_label=True, count_inside_pts=True):
+        """Per-frame info dicts (ref: kitti_dataset.py get_infos): calib,
+        camera annos (name/truncated/occluded/bbox/dimensions/location/ry),
+        lidar boxes, num_points_in_gt."""
+        from ..utils.geometry import points_in_boxes_numpy
+
+        infos = []
+        for idx in self.sample_id_list:
+            info = {
+                "point_cloud": {"num_features": 4, "lidar_idx": idx},
+                "image": {"image_idx": idx},
+            }
+            calib = self.get_calib(idx)
+            info["calib"] = {"P2": calib.P2, "R0_rect": calib.R0,
+                             "Tr_velo_to_cam": calib.V2C}
+            if has_label:
+                objects = self.get_label(idx)
+                annos = {
+                    "name": np.array([o["name"] for o in objects]),
+                    "truncated": np.array([o["truncated"] for o in objects]),
+                    "occluded": np.array([o["occluded"] for o in objects]),
+                    "alpha": np.array([o["alpha"] for o in objects]),
+                    "bbox": (np.stack([o["bbox"] for o in objects])
+                             if objects else np.zeros((0, 4))),
+                }
+                care = [o for o in objects if o["name"] != "DontCare"]
+                gt_boxes, _ = boxes_camera_to_lidar(care, calib)
+                annos["gt_boxes_lidar"] = gt_boxes
+                if count_inside_pts:
+                    pts = self.get_lidar(idx)
+                    inb = points_in_boxes_numpy(pts[:, :3], gt_boxes)
+                    n_in = inb.sum(0)
+                    # DontCare rows get -1, care rows their counts (ref)
+                    counts = np.full(len(objects), -1, np.int64)
+                    ci = 0
+                    for oi, o in enumerate(objects):
+                        if o["name"] != "DontCare":
+                            counts[oi] = int(n_in[ci]) if len(gt_boxes) else 0
+                            ci += 1
+                    annos["num_points_in_gt"] = counts
+                info["annos"] = annos
+            infos.append(info)
+        return infos
+
+    def create_groundtruth_database(self, infos, used_classes=None,
+                                    split="train"):
+        """Per-object point crops + dbinfos pkl for gt_sampling (ref:
+        kitti_dataset.py create_groundtruth_database)."""
+        import pickle
+
+        from ..utils.geometry import points_in_boxes_numpy
+
+        db_path = self.root_path / f"gt_database_{split}"
+        db_info_path = self.root_path / f"kitti_dbinfos_{split}.pkl"
+        db_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+        for info in infos:
+            idx = info["point_cloud"]["lidar_idx"]
+            points = self.get_lidar(idx)
+            annos = info["annos"]
+            care = annos["name"] != "DontCare"
+            names = annos["name"][care]
+            gt_boxes = annos["gt_boxes_lidar"]
+            if len(gt_boxes) == 0:
+                continue
+            inb = points_in_boxes_numpy(points[:, :3], gt_boxes)
+            for i in range(len(gt_boxes)):
+                if used_classes is not None and names[i] not in used_classes:
+                    continue
+                filename = f"{idx}_{names[i]}_{i}.bin"
+                gt_points = points[inb[:, i]].copy()
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                gt_points.astype(np.float32).tofile(db_path / filename)
+                all_db_infos.setdefault(names[i], []).append({
+                    "name": names[i],
+                    "path": str((db_path / filename).relative_to(self.root_path)),
+                    "image_idx": idx, "gt_idx": i,
+                    "box3d_lidar": gt_boxes[i],
+                    "num_points_in_gt": int(inb[:, i].sum()),
+                    "difficulty": 0,
+                })
+        with open(db_info_path, "wb") as f:
+            pickle.dump(all_db_infos, f)
+        return db_info_path
+
+
+def create_kitti_infos(dataset_cfg, class_names, data_path, save_path):
+    """CLI pipeline (ref: kitti_dataset.py create_kitti_infos): info pkls
+    for train/val/trainval + GT database for the train split.
+
+    CLI: python -m mssvt_tpu.datasets.kitti --cfg_file <dataset yaml>
+    """
+    import pickle
+
+    splits = {"train": "train", "val": "val"}
+    infos_by_split = {}
+    for split, name in splits.items():
+        cfg = dict(dataset_cfg)
+        cfg["DATA_SPLIT"] = {"train": name, "test": name}
+        ds = KittiDataset(
+            dataset_cfg=type(dataset_cfg)(cfg), class_names=class_names,
+            training=False, root_path=Path(data_path),
+        )
+        ds.split = name
+        infos = ds.get_infos()
+        infos_by_split[split] = infos
+        out = Path(save_path) / f"kitti_infos_{split}.pkl"
+        with open(out, "wb") as f:
+            pickle.dump(infos, f)
+        print(f"kitti info {split} saved to {out} ({len(infos)} frames)")
+    with open(Path(save_path) / "kitti_infos_trainval.pkl", "wb") as f:
+        pickle.dump(infos_by_split["train"] + infos_by_split["val"], f)
+
+    cfg = dict(dataset_cfg)
+    cfg["DATA_SPLIT"] = {"train": "train", "test": "train"}
+    ds = KittiDataset(
+        dataset_cfg=type(dataset_cfg)(cfg), class_names=class_names,
+        training=False, root_path=Path(data_path),
+    )
+    ds.create_groundtruth_database(
+        infos_by_split["train"], used_classes=list(class_names))
+    print("---------------Data preparation Done---------------")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import yaml
+
+    from ..utils.edict import EasyDict
+
+    parser = argparse.ArgumentParser(description="KITTI data preparation")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--func", type=str, default="create_kitti_infos")
+    parser.add_argument("--data_path", type=str, default=None)
+    args = parser.parse_args()
+    assert args.func == "create_kitti_infos", args.func
+    cfg = EasyDict(yaml.safe_load(open(args.cfg_file)))
+    data_path = args.data_path or cfg.DATA_PATH
+    create_kitti_infos(
+        dataset_cfg=cfg, class_names=["Car", "Pedestrian", "Cyclist"],
+        data_path=data_path, save_path=data_path,
+    )

@@ -160,8 +160,15 @@ class MsSVTBlock(nn.Module):
         # LOCAL take_along_axis (fps indices address the buffer), and all
         # metric coordinates are derived arithmetically from the gather
         # buffers' integer offsets — no voxel-table gather at all.
-        q_fea = group_features(x, q["ind"])  # (NW, nq, C)
         win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
+        nq = q["ind"].shape[1]
+        if q_name == "odd" and nq <= win1_fea.shape[1]:
+            # odd-table offsets occupy the FIRST table positions, so the odd
+            # buffer is an exact prefix of the win1 buffer — reuse the
+            # already-gathered rows instead of a second global gather
+            q_fea = win1_fea[:, :nq] * (~q["mask"])[..., None]
+        else:
+            q_fea = group_features(x, q["ind"])  # (NW, nq, C)
         k_fea1 = gather_along_batch(win1_fea, fps1) * (~k_mask1)[..., None]
         k_fea2 = group_features(x, k_ind2)
 

@@ -358,6 +358,61 @@ def gather_window_voxels(
             "odd", "even", "win1", "win2")
 
     rank_bits = max(int(np.ceil(np.log2(k_total + 1))), 1)
+    k_bits = rank_bits  # same bound: table position < k_total
+    pack_vals = (v << k_bits) < jnp.iinfo(jnp.int32).max
+
+    # Derived-buffer fast path: the win2 buffer fills in global table order
+    # (odd ks, then even, then rest-of-win1, then out-of-win1), so every
+    # other buffer is a CONTIGUOUS RUN of it — odd/win1 are prefixes, even
+    # starts at the window's odd count. One scatter + cheap per-window
+    # counts replace one scatter + one scan column PER buffer.
+    derivable = (
+        not tables.single_scale and pack_vals
+        and all(int(caps[n]) <= int(caps["win2"]) for n in names)
+        and (("even" not in names)
+             or int(caps["even"]) + tables.num_odd <= int(caps["win2"]))
+    )
+    if derivable:
+        cap2 = int(caps["win2"])
+        rank = _exclusive_scan(occ.astype(jnp.int32)).reshape(-1)[
+            jnp.clip(cell, 0, nw * k_total - 1)]
+        keep = flat_ok & (rank < cap2)
+        dest = jnp.where(keep, flat_win * cap2 + rank, nw * cap2 + cand_ar)
+        packed_val = (vox_rows << k_bits) | flat_k
+        buf = jnp.full((nw * cap2,), -1, jnp.int32).at[dest].set(
+            packed_val, mode="drop", unique_indices=True
+        ).reshape(nw, cap2)
+        ind2 = jnp.where(buf >= 0, buf >> k_bits, -1)
+        slot_k2 = jnp.where(buf >= 0, buf & ((1 << k_bits) - 1), 0)
+        coord2 = _unpack_off(offs_packed[slot_k2]) * (buf >= 0)[..., None]
+
+        n_odd, n_even = tables.num_odd, tables.num_even
+        odd_cnt = (occ & elig_tab[None, :, ODD]).sum(axis=1)  # (NW,)
+        even_cnt = (occ & elig_tab[None, :, EVEN]).sum(axis=1)
+        win1_cnt = (occ & elig_tab[None, :, WIN1]).sum(axis=1)
+
+        out = {}
+        for name in names:
+            cap = int(caps[name])
+            j = jnp.arange(cap)
+            if name == "win2":
+                out[name] = {"ind": ind2, "coord": coord2, "mask": ind2 < 0}
+            elif name in ("odd", "win1"):
+                cnt = odd_cnt if name == "odd" else win1_cnt
+                live = j[None, :] < cnt[:, None]
+                ind = jnp.where(live, ind2[:, :cap], -1)
+                coord = coord2[:, :cap] * live[..., None]
+                out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+            else:  # even: run starting at the window's odd count
+                pos = jnp.clip(odd_cnt[:, None] + j[None, :], 0, cap2 - 1)
+                live = j[None, :] < even_cnt[:, None]
+                ind = jnp.where(
+                    live, jnp.take_along_axis(ind2, pos, axis=1), -1)
+                coord = jnp.take_along_axis(
+                    coord2, pos[..., None], axis=1) * live[..., None]
+                out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+        return out
+
     pack_ranks = len(names) * rank_bits <= 31
     if pack_ranks:
         packed = jnp.zeros((nw, k_total), jnp.int32)
@@ -373,8 +428,6 @@ def gather_window_voxels(
             rank_list.append(_exclusive_scan(hits.astype(jnp.int32)).reshape(
                 -1)[jnp.clip(cell, 0, nw * k_total - 1)])
 
-    k_bits = rank_bits  # same bound: table position < k_total
-    pack_vals = (v << k_bits) < jnp.iinfo(jnp.int32).max
     out = {}
     for j, name in enumerate(names):
         capacity = int(caps[name])

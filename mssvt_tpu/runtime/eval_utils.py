@@ -90,6 +90,36 @@ def eval_one_epoch(
             gt_total += n_gt
             n_frames += 1
 
+    # multi-host: merge per-process results through the shared filesystem,
+    # exactly the reference's tmpdir-pickle + barrier scheme
+    # (ref: common_utils.merge_results_dist, common_utils.py:199-220)
+    if jax.process_count() > 1 and result_dir is not None:
+        from jax.experimental import multihost_utils
+
+        tmp = Path(result_dir) / "tmp_merge"
+        tmp.mkdir(parents=True, exist_ok=True)
+        with open(tmp / f"part_{jax.process_index()}.pkl", "wb") as f:
+            pickle.dump({"det": det_frames, "gt": gt_frames,
+                         "recall": recall_acc, "gt_total": gt_total,
+                         "n": n_frames, "t": t_total}, f)
+        multihost_utils.sync_global_devices("eval_merge")
+        if jax.process_index() != 0:
+            return {}, []
+        det_frames, gt_frames = [], []
+        recall_acc = {t: 0 for t in recall_thresh_list}
+        gt_total = n_frames = 0
+        t_total = 0.0
+        for part in sorted(tmp.glob("part_*.pkl")):
+            with open(part, "rb") as f:
+                d = pickle.load(f)
+            det_frames += d["det"]
+            gt_frames += d["gt"]
+            for t in recall_thresh_list:
+                recall_acc[t] += d["recall"][t]
+            gt_total += d["gt_total"]
+            n_frames += d["n"]
+            t_total = max(t_total, d["t"])
+
     sec_per_example = t_total / max(n_frames, 1)
     if logger:
         logger.info(
