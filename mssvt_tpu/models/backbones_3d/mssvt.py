@@ -128,7 +128,7 @@ class MsSVTBlock(nn.Module):
             win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
             self.win1, self.tables, max_num_win1=self.cap1,
             max_num_win2=self.cap2, batch_size=sp.batch_size,
-            buffers=need,
+            buffers=need, return_inverse=self.use_feature_interpolation,
         )
         q = g[q_name]
         win1b, win2b = g["win1"], g["win2"]
@@ -230,23 +230,32 @@ class MsSVTBlock(nn.Module):
         else:
             upd_ind, upd_fea = q["ind"], attn_fea
 
-        # --- scatter back (replaces the per-batch loop, ref :313-336). Base
+        # --- write back (replaces the per-batch loop, ref :313-336). Base
         # is the ORIGINAL features (ref clones sp_tensor.features, :317).
-        # Each voxel belongs to exactly one win1 window and appears at most
-        # once in its gather buffer, so live indices are unique; padding
-        # rows are spread over distinct out-of-bounds slots so the whole
-        # index set is unique → XLA takes the fast non-serializing scatter.
-        v = sp.max_voxels
-        flat_ind = upd_ind.reshape(-1)
-        n_upd = flat_ind.shape[0]
-        safe = jnp.where(
-            flat_ind >= 0, flat_ind,
-            v + jnp.arange(n_upd, dtype=flat_ind.dtype),
-        )
-        updated = shortcut.at[safe].set(
-            upd_fea.reshape(-1, upd_fea.shape[-1]).astype(shortcut.dtype),
-            mode="drop", unique_indices=True,
-        )
+        # Preferred: INVERSE formulation — each voxel gathers its updated row
+        # from (window, slot) (V row-descriptors instead of NW*cap scatter
+        # descriptors, ~4x fewer at Waymo scale). Fallback: unique-index
+        # scatter (each voxel appears at most once across the buffers).
+        inv = g.get("inv_win1") if self.use_feature_interpolation else None
+        if inv is not None:
+            nw_b, n1b, c = upd_fea.shape
+            pos = jnp.clip(inv["win_row"] * n1b + inv["slot"],
+                           0, nw_b * n1b - 1)
+            rows = jnp.take(upd_fea.reshape(-1, c), pos, axis=0)
+            updated = jnp.where(inv["valid"][:, None],
+                                rows.astype(shortcut.dtype), shortcut)
+        else:
+            v = sp.max_voxels
+            flat_ind = upd_ind.reshape(-1)
+            n_upd = flat_ind.shape[0]
+            safe = jnp.where(
+                flat_ind >= 0, flat_ind,
+                v + jnp.arange(n_upd, dtype=flat_ind.dtype),
+            )
+            updated = shortcut.at[safe].set(
+                upd_fea.reshape(-1, upd_fea.shape[-1]).astype(shortcut.dtype),
+                mode="drop", unique_indices=True,
+            )
 
         # --- residual + FFN (ref :338-343)
         new = self.droppath(updated, deterministic) + shortcut

@@ -19,12 +19,32 @@ Differences from the reference (intentional):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.pallas_attention import fused_window_attention
+
 KEY_PAD_NEG = -100.0
+
+
+def _use_fused_kernel(nq: int, deterministic: bool) -> bool:
+    """Route to the Pallas kernel for inference-shaped calls on TPU.
+
+    The einsum path remains for training (dropout + autodiff; the kernel has
+    no custom VJP yet), for tiny query counts (compress blocks have nq=1 —
+    below the TPU sublane tile), and off-TPU. Tests force the kernel through
+    the interpreter with MSSVT_PALLAS=interpret.
+    """
+    mode = os.environ.get("MSSVT_PALLAS", "auto")
+    if mode == "off":
+        return False
+    if mode == "interpret":
+        return True
+    return deterministic and nq >= 8 and jax.default_backend() == "tpu"
 
 
 class MixedScaleAttention(nn.Module):
@@ -51,6 +71,45 @@ class MixedScaleAttention(nn.Module):
         assert tot_nk % groups == 0
         nk = tot_nk // groups
         scale = per_head ** -0.5
+
+        if _use_fused_kernel(nq, deterministic):
+            # projections stay as flat XLA GEMMs (same param names/shapes as
+            # the einsum path — the two branches share weights); only the
+            # softmax(qk)v core runs in the fused Pallas kernel
+            qs, ks, vs, start = [], [], [], 0
+            for i, h in enumerate(self.num_heads):
+                sd = per_head * h
+                qs.append(nn.Dense(sd, dtype=self.dtype, name=f"to_q_{i}")(
+                    query[..., start : start + sd]))
+                kv = nn.Dense(2 * sd, dtype=self.dtype, name=f"to_kv_{i}")(
+                    keys[:, i * nk : (i + 1) * nk, start : start + sd])
+                k_i, v_i = jnp.split(kv, 2, axis=-1)
+                pad = ((0, 0), (0, 0), (start, self.embed_dim - start - sd))
+                ks.append(jnp.pad(k_i, pad))
+                vs.append(jnp.pad(v_i, pad))
+                start += sd
+            q_all = jnp.concatenate(qs, axis=-1)  # (b, nq, D)
+            k_all = jnp.concatenate(ks, axis=1)   # (b, nk_tot, D) blockdiag
+            v_all = jnp.concatenate(vs, axis=1)
+            if key_masks is not None:
+                bias = jnp.where(key_masks, KEY_PAD_NEG, 0.0).astype(jnp.float32)
+            else:
+                bias = jnp.zeros((b, tot_nk), jnp.float32)
+            core = fused_window_attention(
+                q_all, k_all, v_all, bias, num_heads=tuple(self.num_heads),
+                scale=scale,
+                interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
+            )
+            outs, start = [], 0
+            for i, h in enumerate(self.num_heads):
+                sd = per_head * h
+                outs.append(nn.Dense(sd, dtype=self.dtype, name=f"proj_{i}")(
+                    core[..., start : start + sd]))
+                start += sd
+            out = jnp.concatenate(outs, axis=-1)
+            if query_mask is not None:
+                out = out * (~query_mask)[..., None].astype(out.dtype)
+            return out
 
         outs = []
         start = 0

@@ -21,12 +21,15 @@ mirroring ``get_vox_query_table``
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .pallas_fill import fill_capacity_buffer, fill_capacity_buffer_xla
 
 from ..core.index import (
     INVALID_KEY,
@@ -69,17 +72,43 @@ class QueryTables:
     off_min: np.ndarray = None  # (3,) int32
     off_max: np.ndarray = None  # (3,) int32
     pos_lut: np.ndarray = None  # (Ox, Oy, Oz) int32
+    # Own-cell decomposition (for the neighbor-row gather fast path): each
+    # table offset k lives in window-delta ``deltas[di(k)]`` at in-window
+    # local cell L(k); ``col_src[k] = di(k)*cell_vol + L(k)`` selects k's
+    # column out of the concatenated neighbor rows, and ``k_own_lut[L]`` maps
+    # a voxel's own local cell to its table position for the delta-0 window.
+    deltas: np.ndarray = None  # (D, 3) int32 xyz window deltas
+    col_src: np.ndarray = None  # (K,) int32 into D*cell_vol
+    k_own_lut: np.ndarray = None  # (cell_vol,) int32 table position, -1 absent
 
 
-def _with_lut(offsets, elig, num_odd, num_even, single):
+def _with_lut(offsets, elig, num_odd, num_even, single, win1_size):
     off_min = offsets.min(axis=0)
     off_max = offsets.max(axis=0)
     dims = off_max - off_min + 1
     lut = np.full(tuple(dims), -1, np.int32)
     rel = offsets - off_min
     lut[rel[:, 0], rel[:, 1], rel[:, 2]] = np.arange(len(offsets), dtype=np.int32)
+
+    # own-cell decomposition (static)
+    ws = np.asarray([int(s) for s in win1_size], np.int64)
+    tab = QueryTables(offsets, elig, num_odd, num_even, single,
+                      off_min.astype(np.int32), off_max.astype(np.int32), lut)
+    deltas = _candidate_window_deltas(win1_size, tab)  # (D, 3)
+    dmap = {tuple(d): i for i, d in enumerate(deltas.tolist())}
+    cell_vol = int(ws.prod())
+    abs_cell = offsets.astype(np.int64) + ws // 2  # in-box cell, origin at window corner
+    d = np.floor_divide(abs_cell, ws)
+    local = abs_cell - d * ws
+    di = np.asarray([dmap[tuple(r)] for r in d.tolist()], np.int64)
+    lid = (local[:, 0] * ws[1] + local[:, 1]) * ws[2] + local[:, 2]
+    col_src = (di * cell_vol + lid).astype(np.int32)
+    k_own = np.full((cell_vol,), -1, np.int32)
+    center = (d == 0).all(axis=1)
+    k_own[lid[center]] = np.arange(len(offsets), dtype=np.int32)[center]
     return QueryTables(offsets, elig, num_odd, num_even, single,
-                       off_min.astype(np.int32), off_max.astype(np.int32), lut)
+                       off_min.astype(np.int32), off_max.astype(np.int32), lut,
+                       deltas, col_src, k_own)
 
 
 def _chebyshev_sorted_offsets(size) -> np.ndarray:
@@ -104,7 +133,7 @@ def build_query_tables(win1_size, win2_size=None, cbs_mode: str = "odd_even") ->
         offsets = _chebyshev_sorted_offsets(win1_size)
         elig = np.zeros((offsets.shape[0], 4), bool)
         elig[:, WIN1] = True
-        return _with_lut(offsets, elig, 0, 0, True)
+        return _with_lut(offsets, elig, 0, 0, True, win1_size)
 
     win2_size = tuple(int(s) for s in win2_size)
     if any((win2_size[i] - win1_size[i]) % 2 for i in range(3)):
@@ -138,7 +167,7 @@ def build_query_tables(win1_size, win2_size=None, cbs_mode: str = "odd_even") ->
     elig[o_end:e_end, EVEN] = True
     elig[:r_end, WIN1] = True  # odd + even + rest feed the win1 buffer
     elig[:, WIN2] = True  # every table feeds the win2 buffer
-    return _with_lut(cat, elig, int(sizes[0]), int(sizes[1]), False)
+    return _with_lut(cat, elig, int(sizes[0]), int(sizes[1]), False, win1_size)
 
 
 def window_partition(
@@ -198,6 +227,172 @@ def _candidate_window_deltas(win1_size, tables: QueryTables) -> np.ndarray:
     )
 
 
+def _pack_offsets5(offsets: np.ndarray) -> np.ndarray:
+    """Pack (K, 3) small offsets into one int32 channel (5-bit biased/axis)."""
+    offs_np = np.asarray(offsets, np.int64)
+    assert np.abs(offs_np).max() < 16, "offset exceeds 5-bit packing"
+    return (((offs_np[:, 0] + 16) << 10) | ((offs_np[:, 1] + 16) << 5)
+            | (offs_np[:, 2] + 16)).astype(np.int32)
+
+
+def _unpack_offsets5(p: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([
+        ((p >> 10) & 31) - 16, ((p >> 5) & 31) - 16, (p & 31) - 16,
+    ], axis=-1).astype(jnp.int32)
+
+
+def _derive_from_win2(ind2, coord2, odd_cnt, even_cnt, win1_cnt, names, caps):
+    """Derive the odd/even/win1 buffers as contiguous runs of the win2 buffer.
+
+    The win2 buffer fills in global table order (odd ks, then even, then
+    rest-of-win1, then out-of-win1), so odd/win1 are prefixes and even starts
+    at the window's odd count (see gather_window_voxels docstring).
+    """
+    cap2 = ind2.shape[1]
+    out = {}
+    for name in names:
+        cap = int(caps[name])
+        j = jnp.arange(cap)
+        if name == "win2":
+            out[name] = {"ind": ind2, "coord": coord2, "mask": ind2 < 0}
+        elif name in ("odd", "win1"):
+            cnt = odd_cnt if name == "odd" else win1_cnt
+            live = j[None, :] < cnt[:, None]
+            ind = jnp.where(live, ind2[:, :cap], -1)
+            coord = coord2[:, :cap] * live[..., None]
+            out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+        else:  # even: run starting at the window's odd count
+            pos = jnp.clip(odd_cnt[:, None] + j[None, :], 0, cap2 - 1)
+            live = j[None, :] < even_cnt[:, None]
+            ind = jnp.where(live, jnp.take_along_axis(ind2, pos, axis=1), -1)
+            coord = jnp.take_along_axis(
+                coord2, pos[..., None], axis=1) * live[..., None]
+            out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+    return out
+
+
+def _fill_mode() -> str:
+    """Gather fast-path selection: 'tpu' (Pallas fill kernel), 'interpret'
+    (Pallas interpreter — CPU tests), 'xla_fill' (XLA fallback fill — CPU
+    tests), 'off' (original candidate-scatter path)."""
+    m = os.environ.get("MSSVT_PALLAS", "auto")
+    if m in ("interpret", "xla_fill", "off"):
+        return m
+    return "tpu" if jax.default_backend() == "tpu" else "off"
+
+
+def _gather_via_own_cells(
+    win_coords, win_valid, coords, valid, win_grid, win1_size,
+    tables: QueryTables, caps, names, batch_size: int,
+    return_inverse: bool, mode: str,
+):
+    """Neighbor-row formulation of the mixed-scale gather.
+
+    The gather box of every window tiles exactly into whole window cells
+    (win2 - win1 is even per dim and both are cell-aligned), so instead of
+    per-candidate scatters keyed by (window, table-position) — descriptor-rate
+    bound at ~4 x (V x deltas) elements (~47 ms/frame at Waymo scale) — we:
+
+    1. scatter each voxel ONCE into its own window-cell slot of a dense
+       (cells x cell_vol) table (V descriptors);
+    2. row-gather each window's D neighbor cells (nw x D row descriptors)
+       and statically permute columns into the reference traversal order
+       (``tables.col_src``), giving the (nw, K) box table;
+    3. compact to capacity with the Pallas fill kernel (ranks via one MXU
+       dot, fill in VMEM) — see ops/pallas_fill.py.
+
+    Counts for the derived odd/even/win1 buffers ride one (nw, K) x (K, 3)
+    MXU dot. Fill semantics are identical to the candidate-scatter path.
+    """
+    wx, wy, wz = (int(s) for s in win1_size)
+    cv = wx * wy * wz
+    k_total = tables.offsets.shape[0]
+    nw = win_coords.shape[0]
+    v = coords.shape[0]
+    n_cells = batch_size * win_grid[0] * win_grid[1] * win_grid[2]
+
+    # 1. own-cell table
+    div = jnp.asarray([1, wz, wy, wx], jnp.int32)
+    own_key = linearize_coords(coords // div, win_grid, valid)  # (V,)
+    lid = ((coords[:, 3] % wx) * wy + (coords[:, 2] % wy)) * wz \
+        + (coords[:, 1] % wz)  # (V,) in-cell local id
+    slot = jnp.where(own_key != INVALID_KEY, own_key * cv + lid,
+                     n_cells * cv + jnp.arange(v, dtype=jnp.int32))
+    table = jnp.full((n_cells * cv + v,), -1, jnp.int32).at[slot].set(
+        jnp.arange(v, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    table2 = jnp.concatenate(
+        [table[:n_cells * cv].reshape(n_cells, cv),
+         jnp.full((1, cv), -1, jnp.int32)], axis=0)  # + padding row
+
+    # 2. neighbor rows -> box table in traversal order
+    deltas = jnp.asarray(tables.deltas)  # (D, 3) xyz
+    d = deltas.shape[0]
+    nbr_xyz = win_coords[:, None, [3, 2, 1]] + deltas[None]  # (nw, D, 3)
+    nbr = jnp.concatenate(
+        [jnp.broadcast_to(win_coords[:, None, 0:1], (nw, d, 1)),
+         nbr_xyz[..., ::-1]], axis=-1)  # (nw, D, 4) bzyx
+    nbr_key = linearize_coords(nbr, win_grid, valid=win_valid[:, None])
+    nbr_row = jnp.where(nbr_key != INVALID_KEY, nbr_key, n_cells)
+    box_d = table2[nbr_row]  # (nw, D, cv) row gather
+    box = box_d.reshape(nw, d * cv)[:, jnp.asarray(tables.col_src)]  # (nw, K)
+
+    # 3. capacity fill
+    kp = (-(-k_total // 128)) * 128
+    kbits = max(int(kp - 1).bit_length(), 1)
+    if (v << kbits) >= jnp.iinfo(jnp.int32).max:
+        raise ValueError(f"voxel rows {v} overflow the {kbits}-bit slot pack")
+    cap2 = int(caps["win2"]) if not tables.single_scale else int(caps["win1"])
+    if mode == "xla_fill":
+        buf = fill_capacity_buffer_xla(box, cap2, kbits)
+    else:
+        buf = fill_capacity_buffer(box, cap2, kbits,
+                                   interpret=(mode == "interpret"))
+    live = buf >= 0
+    ind2 = jnp.where(live, buf >> kbits, -1)
+    slot_k2 = jnp.where(live, buf & ((1 << kbits) - 1), 0)
+    offs_packed = jnp.asarray(_pack_offsets5(tables.offsets))
+    coord2 = _unpack_offsets5(offs_packed[slot_k2]) * live[..., None]
+
+    if tables.single_scale:
+        out = {"win1": {"ind": ind2, "coord": coord2, "mask": ind2 < 0}}
+        return out
+
+    occf = (box >= 0).astype(jnp.float32)
+    elig3 = jnp.asarray(
+        tables.eligibility[:, [ODD, EVEN, WIN1]].astype(np.float32))
+    counts = jnp.dot(occf, elig3,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    odd_cnt, even_cnt, win1_cnt = counts[:, 0], counts[:, 1], counts[:, 2]
+    out = _derive_from_win2(ind2, coord2, odd_cnt, even_cnt, win1_cnt,
+                            names, caps)
+
+    if return_inverse:
+        # voxel -> (window row, win1 slot): win1 cells precede all win2-only
+        # cells in table order, so a voxel's win2-fill rank IS its win1 slot
+        cap1 = int(caps["win1"])
+        win_key = linearize_coords(win_coords, win_grid, win_valid)
+        wsafe = jnp.where(win_key != INVALID_KEY, win_key,
+                          n_cells + 1 + jnp.arange(nw, dtype=jnp.int32))
+        cell_rows = jnp.full((n_cells + 1 + nw,), -1, jnp.int32).at[
+            wsafe].set(jnp.arange(nw, dtype=jnp.int32), mode="drop",
+                       unique_indices=True)
+        own_cell = jnp.where(own_key != INVALID_KEY, own_key, n_cells)
+        win_row_v = cell_rows[own_cell]  # (V,) -1 if window dropped
+        k_own = jnp.asarray(tables.k_own_lut)[lid]  # (V,)
+        # exclusive rank: M[k', k] = 1 iff k' < k (strictly upper triangular)
+        lt = jnp.asarray(np.triu(np.ones((k_total, k_total), np.float32),
+                                 k=1))
+        rank = jnp.dot(occf, lt, preferred_element_type=jnp.float32)
+        flat = jnp.clip(win_row_v, 0) * k_total + jnp.clip(k_own, 0)
+        slot_v = rank.reshape(-1)[flat].astype(jnp.int32)
+        inv_valid = (valid & (win_row_v >= 0) & (k_own >= 0)
+                     & (slot_v < min(cap1, cap2)))
+        out["inv_win1"] = {"win_row": win_row_v, "slot": slot_v,
+                           "valid": inv_valid}
+    return out
+
+
 def gather_window_voxels(
     win_coords: jnp.ndarray,
     win_valid: jnp.ndarray,
@@ -212,6 +407,7 @@ def gather_window_voxels(
     max_num_even: Optional[int] = None,
     batch_size: Optional[int] = None,
     buffers: Optional[Tuple[str, ...]] = None,
+    return_inverse: bool = False,
 ):
     """Gather voxel rows + relative grid coords for every window, all scales.
 
@@ -240,6 +436,37 @@ def gather_window_voxels(
     wx, wy, wz = (int(s) for s in win1_size)
     x_max, y_max, z_max = (int(s) for s in spatial_shape)
     win_grid = (x_max // wx, y_max // wy, z_max // wz)
+
+    if tables.single_scale:
+        caps = {"win1": max_num_win1}
+        names = ("win1",)
+    else:
+        assert max_num_win2 is not None
+        caps = {
+            "odd": tables.num_odd if max_num_odd is None else max_num_odd,
+            "even": tables.num_even if max_num_even is None else max_num_even,
+            "win1": max_num_win1,
+            "win2": max_num_win2,
+        }
+        names = tuple(buffers) if buffers is not None else (
+            "odd", "even", "win1", "win2")
+
+    # derived-run eligibility (shared by both fast paths): every requested
+    # buffer must be a contiguous run of the win2 buffer
+    derivable = tables.single_scale or (
+        all(int(caps[n]) <= int(caps["win2"]) for n in names)
+        and (("even" not in names)
+             or int(caps["even"]) + tables.num_odd <= int(caps["win2"]))
+    )
+    mode = _fill_mode()
+    if (mode != "off" and derivable and batch_size is not None
+            and tables.col_src is not None):
+        kp = (-(-k_total // 128)) * 128
+        kbits = max(int(kp - 1).bit_length(), 1)
+        if (v << kbits) < jnp.iinfo(jnp.int32).max:
+            return _gather_via_own_cells(
+                win_coords, win_valid, coords, valid, win_grid, win1_size,
+                tables, caps, names, batch_size, return_inverse, mode)
 
     ws = jnp.asarray(ws_np)
     vox_xyz = coords[:, [3, 2, 1]]
@@ -386,31 +613,27 @@ def gather_window_voxels(
         slot_k2 = jnp.where(buf >= 0, buf & ((1 << k_bits) - 1), 0)
         coord2 = _unpack_off(offs_packed[slot_k2]) * (buf >= 0)[..., None]
 
-        n_odd, n_even = tables.num_odd, tables.num_even
         odd_cnt = (occ & elig_tab[None, :, ODD]).sum(axis=1)  # (NW,)
         even_cnt = (occ & elig_tab[None, :, EVEN]).sum(axis=1)
         win1_cnt = (occ & elig_tab[None, :, WIN1]).sum(axis=1)
 
-        out = {}
-        for name in names:
-            cap = int(caps[name])
-            j = jnp.arange(cap)
-            if name == "win2":
-                out[name] = {"ind": ind2, "coord": coord2, "mask": ind2 < 0}
-            elif name in ("odd", "win1"):
-                cnt = odd_cnt if name == "odd" else win1_cnt
-                live = j[None, :] < cnt[:, None]
-                ind = jnp.where(live, ind2[:, :cap], -1)
-                coord = coord2[:, :cap] * live[..., None]
-                out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
-            else:  # even: run starting at the window's odd count
-                pos = jnp.clip(odd_cnt[:, None] + j[None, :], 0, cap2 - 1)
-                live = j[None, :] < even_cnt[:, None]
-                ind = jnp.where(
-                    live, jnp.take_along_axis(ind2, pos, axis=1), -1)
-                coord = jnp.take_along_axis(
-                    coord2, pos[..., None], axis=1) * live[..., None]
-                out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+        out = _derive_from_win2(ind2, coord2, odd_cnt, even_cnt, win1_cnt,
+                                names, caps)
+        if return_inverse:
+            # voxel -> (window row, win1 slot), same run-prefix argument as
+            # the own-cell path: a win1 hit's win2-fill rank IS its win1 slot
+            cap1 = int(caps["win1"])
+            keep_inv = (flat_ok & cand_elig[:, WIN1]
+                        & (rank < min(cap1, cap2)))
+            dest_v = jnp.where(keep_inv, vox_rows, v + cand_ar)
+            packed_inv = flat_win * cap1 + jnp.minimum(rank, cap1 - 1)
+            inv = jnp.full((v,), -1, jnp.int32).at[dest_v].set(
+                packed_inv, mode="drop", unique_indices=True)
+            out["inv_win1"] = {
+                "win_row": jnp.where(inv >= 0, inv // cap1, -1),
+                "slot": jnp.where(inv >= 0, inv % cap1, 0),
+                "valid": inv >= 0,
+            }
         return out
 
     pack_ranks = len(names) * rank_bits <= 31

@@ -292,3 +292,35 @@ def test_caddn_camera_branch():
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_gather_fast_path_model_parity(model_and_batch, monkeypatch):
+    """Full-model forward: the own-cell gather + inverse write-back must be
+    numerically identical to the candidate-scatter path (same arithmetic,
+    different data movement)."""
+    model, variables, batch = model_and_batch
+    monkeypatch.setenv("MSSVT_PALLAS", "off")
+    ref = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    monkeypatch.setenv("MSSVT_PALLAS", "xla_fill")
+    got = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    for key in ("final_boxes", "final_scores", "final_mask"):
+        np.testing.assert_allclose(
+            np.asarray(got[key], np.float32), np.asarray(ref[key], np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=key)
+
+
+def test_pallas_kernels_model_parity(model_and_batch, monkeypatch):
+    """Full-model forward through BOTH Pallas kernels (interpreter) vs the
+    XLA paths — loose tolerance (kernel softmax runs f32 vs bf16 einsum)."""
+    model, variables, batch = model_and_batch
+    monkeypatch.setenv("MSSVT_PALLAS", "off")
+    ref = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    monkeypatch.setenv("MSSVT_PALLAS", "interpret")
+    got = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    rs, gs = np.asarray(ref["final_scores"]), np.asarray(got["final_scores"])
+    rb, gb = np.asarray(ref["final_boxes"]), np.asarray(got["final_boxes"])
+    np.testing.assert_allclose(gs, rs, atol=0.03, rtol=0.05)
+    # near-tied scores may flip NMS survivors under the kernel's f32 softmax
+    # (vs bf16 einsum); require the bulk of box elements to agree
+    close = np.isclose(gb, rb, atol=0.3, rtol=0.1)
+    assert close.mean() > 0.95, f"only {close.mean():.2%} of box elems match"

@@ -190,3 +190,104 @@ def test_gather_matches_oracle(rng, two_scale, dense):
     # invalid windows gather nothing
     for name in caps:
         assert (np.asarray(got[name]["ind"])[~wvalid] == -1).all()
+
+
+@pytest.mark.parametrize("fill_mode", ["xla_fill", "interpret"])
+@pytest.mark.parametrize("two_scale", [False, True])
+def test_own_cell_gather_matches_oracle(rng, monkeypatch, two_scale, fill_mode):
+    """The neighbor-row (own-cell) fast path reproduces the CUDA fill
+    semantics exactly (both the XLA fallback fill and the Pallas kernel via
+    the interpreter)."""
+    monkeypatch.setenv("MSSVT_PALLAS", fill_mode)
+    n = 70
+    voxels = make_voxels(rng, n)
+    cap_v = 96
+    pad = np.full((cap_v, 4), -1, np.int32)
+    pad[:n] = voxels
+    valid = np.arange(cap_v) < n
+
+    max_windows = 48
+    win_coords, win_valid, _, _ = window_partition(
+        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, max_windows,
+        batch_size=2,
+    )
+
+    if two_scale:
+        tables = build_query_tables(WIN1, WIN2)
+        caps = {"odd": tables.num_odd, "even": tables.num_even,
+                "win1": 20, "win2": 40}
+        got = gather_window_voxels(
+            win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
+            SHAPE, WIN1, tables, max_num_win1=20, max_num_win2=40,
+            batch_size=2, return_inverse=True,
+        )
+    else:
+        tables = build_query_tables(WIN1)
+        caps = {"win1": 16}
+        got = gather_window_voxels(
+            win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
+            SHAPE, WIN1, tables, max_num_win1=16, batch_size=2,
+        )
+
+    wc = np.asarray(win_coords)[np.asarray(win_valid)]
+    oracle = _oracle_gather(voxels, wc, tables, caps, SHAPE, WIN1)
+
+    wvalid = np.asarray(win_valid)
+    for name in caps:
+        ind = np.asarray(got[name]["ind"])[wvalid]
+        coord = np.asarray(got[name]["coord"])[wvalid]
+        np.testing.assert_array_equal(ind, oracle[name][0], err_msg=f"{name} ind")
+        np.testing.assert_array_equal(coord, oracle[name][1], err_msg=f"{name} coord")
+        np.testing.assert_array_equal(
+            np.asarray(got[name]["mask"])[wvalid], oracle[name][0] < 0)
+        assert (np.asarray(got[name]["ind"])[~wvalid] == -1).all()
+
+    if two_scale:
+        # inverse map: for every live win1 slot (w, j) holding voxel v,
+        # inv[v] == (w, j); voxels in no live slot are invalid
+        ind1 = np.asarray(got["win1"]["ind"])
+        inv_w = np.asarray(got["inv_win1"]["win_row"])
+        inv_s = np.asarray(got["inv_win1"]["slot"])
+        inv_v = np.asarray(got["inv_win1"]["valid"])
+        seen = set()
+        for w in range(ind1.shape[0]):
+            for j in range(ind1.shape[1]):
+                vrow = ind1[w, j]
+                if vrow < 0:
+                    continue
+                assert inv_v[vrow], (w, j, vrow)
+                assert inv_w[vrow] == w and inv_s[vrow] == j
+                seen.add(vrow)
+        for vrow in range(cap_v):
+            if vrow not in seen:
+                assert not inv_v[vrow]
+
+
+@pytest.mark.parametrize("two_scale", [False, True])
+def test_inverse_map_old_path(rng, two_scale):
+    """The candidate-scatter (fallback) path returns the same inverse map."""
+    if not two_scale:
+        pytest.skip("inverse only defined for the two-scale derivable path")
+    n = 70
+    voxels = make_voxels(rng, n)
+    cap_v = 96
+    pad = np.full((cap_v, 4), -1, np.int32)
+    pad[:n] = voxels
+    valid = np.arange(cap_v) < n
+    win_coords, win_valid, _, _ = window_partition(
+        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, 48, batch_size=2)
+    tables = build_query_tables(WIN1, WIN2)
+    got = gather_window_voxels(
+        win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
+        SHAPE, WIN1, tables, max_num_win1=20, max_num_win2=40,
+        batch_size=2, return_inverse=True,
+    )
+    ind1 = np.asarray(got["win1"]["ind"])
+    inv_w = np.asarray(got["inv_win1"]["win_row"])
+    inv_s = np.asarray(got["inv_win1"]["slot"])
+    inv_v = np.asarray(got["inv_win1"]["valid"])
+    for w in range(ind1.shape[0]):
+        for j in range(ind1.shape[1]):
+            vrow = ind1[w, j]
+            if vrow >= 0:
+                assert inv_v[vrow] and inv_w[vrow] == w and inv_s[vrow] == j
