@@ -3,16 +3,19 @@
 Input: the *box table* ``box`` of shape (num_windows, K) — for each window,
 the voxel row occupying each of its K gather-table cells (-1 = empty), laid
 out in the reference's traversal order (Chebyshev-sorted offset tables,
-ref: pcdet/ops/mssvt/src/ms_sparse_attention_gpu.cu:227-347). Output: the
-fixed-capacity fill buffer (num_windows, cap) holding ``(vox_row << kbits) | k``
-packed entries in nearest-first order — hit #r of a window lands in slot r,
-hits beyond ``cap`` are dropped, exactly the CUDA kernel's semantics.
+ref: pcdet/ops/mssvt/src/ms_sparse_attention_gpu.cu:227-347). Outputs: the
+fixed-capacity fill buffers (num_windows, cap) holding the voxel row and the
+5-bit-packed grid offset of each hit in nearest-first order — hit #r of a
+window lands in slot r, hits beyond ``cap`` are dropped, exactly the CUDA
+kernel's semantics.
 
 Why a kernel: the fill is a per-window stream compaction. The XLA formulation
 needs candidate-sized scatters + rank gathers (~4 x 810k descriptor-bound ops,
-~47 ms/frame at Waymo scale); here ranks come from one MXU dot against a
-static strictly-lower-triangular matrix and the compaction runs as a
-predicated select/max loop over VMEM-resident tiles.
+~47 ms/frame at Waymo scale), and recovering per-slot offsets afterwards costs
+another (num_windows x cap)-element gather (~15 ms). Here ranks come from one
+MXU dot against a static strictly-upper-triangular matrix, the compaction runs
+as a predicated select/max loop over VMEM-resident tiles, and the offset
+buffer rides the same predicate against a static per-column offset vector.
 """
 
 from __future__ import annotations
@@ -26,47 +29,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fill_kernel(box_ref, lt_ref, buf_ref, *, cap, kbits):
+def _fill_kernel(box_ref, lt_ref, off_ref, vox_ref, offo_ref, *, cap):
     box = box_ref[:]                      # (R, Kp) int32, -1 = empty
     occ = box >= 0
-    kp = box.shape[1]
     # exclusive rank of each hit within its row, in table order: one MXU dot
-    # with the static strictly-lower-triangular ones matrix
+    # with the static strictly-upper-triangular ones matrix
+    # (dot(occ, M)[r, k] = sum_{k'} occ[r, k'] M[k', k], M[k', k]=1 iff k'<k)
     rank = jax.lax.dot(
         occ.astype(jnp.float32), lt_ref[:],
         preferred_element_type=jnp.float32,
-    )  # (R, Kp) float, exact for counts < 2^24
-    rank = rank.astype(jnp.int32)
+    ).astype(jnp.int32)
 
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, box.shape, 1)
-    packed = jnp.where(occ, (box << kbits) | k_iota, -1)
+    offvec = off_ref[0:1, :]  # (1, Kp) packed offset per table column
 
     # predicated fill: slot j takes the (unique) entry with rank == j;
     # rows are VMEM-resident so each step is a cheap select + lane reduction.
     # Early-exit on the tile's densest window.
     tile_max = jnp.max(jnp.sum(occ.astype(jnp.int32), axis=1))
-    buf_ref[:] = jnp.full(buf_ref.shape, -1, jnp.int32)
+    vox_ref[:] = jnp.full(vox_ref.shape, -1, jnp.int32)
+    offo_ref[:] = jnp.zeros(offo_ref.shape, jnp.int32)
     for j in range(cap):
         @pl.when(j < tile_max)
         def _():
             sel = occ & (rank == j)
-            buf_ref[:, j] = jnp.max(jnp.where(sel, packed, -1), axis=1)
+            vox_ref[:, j] = jnp.max(jnp.where(sel, box, -1), axis=1)
+            offo_ref[:, j] = jnp.max(jnp.where(sel, offvec, 0), axis=1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cap", "kbits", "row_block", "interpret")
-)
-def fill_capacity_buffer(
+def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
     box: jnp.ndarray,   # (NW, K) int32 voxel rows in table order, -1 empty
+    offs_packed: np.ndarray,  # (K,) int32 packed offset per table column
     cap: int,
-    kbits: int,
     row_block: int = 128,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Nearest-first capacity fill. Returns (NW, cap) int32 packed
-    ``(vox_row << kbits) | table_k``, -1 for empty slots."""
+):
+    """Nearest-first capacity fill. Returns ((NW, cap) int32 voxel rows with
+    -1 padding, (NW, cap) int32 packed offsets with 0 padding)."""
     nw, k = box.shape
-    assert k < (1 << kbits), (k, kbits)
     kp = (-(-k // 128)) * 128  # pad table axis to the lane width
     if kp != k:
         box = jnp.pad(box, ((0, 0), (0, kp - k)), constant_values=-1)
@@ -75,11 +74,11 @@ def fill_capacity_buffer(
         box = jnp.pad(box, ((0, pad_rows), (0, 0)), constant_values=-1)
     nwp = nw + pad_rows
 
-    # dot(occ, M)[r, k] = sum_{k'} occ[r, k'] * M[k', k] — exclusive rank
-    # needs M[k', k] = 1 iff k' < k, i.e. strictly UPPER triangular ones
     lt = jnp.asarray(np.triu(np.ones((kp, kp), np.float32), k=1))
-    kernel = functools.partial(_fill_kernel, cap=cap, kbits=kbits)
-    out = pl.pallas_call(
+    offv = np.zeros((8, kp), np.int32)
+    offv[0, :k] = np.asarray(offs_packed, np.int32)
+    kernel = functools.partial(_fill_kernel, cap=cap)
+    vox, off = pl.pallas_call(
         kernel,
         grid=(nwp // row_block,),
         in_specs=[
@@ -87,28 +86,41 @@ def fill_capacity_buffer(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_block, cap), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
+        out_specs=(
+            pl.BlockSpec((row_block, cap), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, cap), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
+            jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
+        ),
         interpret=interpret,
-    )(box, lt)
-    return out[:nw]
+    )(box, lt, jnp.asarray(offv))
+    return vox[:nw], off[:nw]
 
 
-def fill_capacity_buffer_xla(box: jnp.ndarray, cap: int, kbits: int):
+def fill_capacity_buffer_xla(box: jnp.ndarray, offs_packed, cap: int):
     """XLA fallback with identical semantics (CPU tests / non-TPU)."""
     nw, k = box.shape
     occ = box >= 0
     rank = jnp.cumsum(occ.astype(jnp.int32), axis=1) - occ.astype(jnp.int32)
-    k_iota = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), box.shape)
-    packed = jnp.where(occ, (box << kbits) | k_iota, -1)
+    offv = jnp.broadcast_to(
+        jnp.asarray(np.asarray(offs_packed, np.int32)), box.shape)
     keep = occ & (rank < cap)
     ar = jnp.arange(nw * k, dtype=jnp.int32)
     dest = jnp.where(keep.reshape(-1),
                      (jnp.arange(nw, dtype=jnp.int32)[:, None] * cap
                       + rank).reshape(-1),
                      nw * cap + ar)
-    return jnp.full((nw * cap,), -1, jnp.int32).at[dest].set(
-        packed.reshape(-1), mode="drop", unique_indices=True
+    vox = jnp.full((nw * cap,), -1, jnp.int32).at[dest].set(
+        box.reshape(-1), mode="drop", unique_indices=True
     ).reshape(nw, cap)
+    off = jnp.zeros((nw * cap,), jnp.int32).at[dest].set(
+        offv.reshape(-1), mode="drop", unique_indices=True
+    ).reshape(nw, cap)
+    return vox, off

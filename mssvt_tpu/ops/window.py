@@ -337,22 +337,17 @@ def _gather_via_own_cells(
     box_d = table2[nbr_row]  # (nw, D, cv) row gather
     box = box_d.reshape(nw, d * cv)[:, jnp.asarray(tables.col_src)]  # (nw, K)
 
-    # 3. capacity fill
-    kp = (-(-k_total // 128)) * 128
-    kbits = max(int(kp - 1).bit_length(), 1)
-    if (v << kbits) >= jnp.iinfo(jnp.int32).max:
-        raise ValueError(f"voxel rows {v} overflow the {kbits}-bit slot pack")
+    # 3. capacity fill (voxel rows + packed offsets in one kernel pass — a
+    # post-hoc (nw x cap) offset gather from the table measured ~15 ms/frame)
+    offs_packed = _pack_offsets5(tables.offsets)
     cap2 = int(caps["win2"]) if not tables.single_scale else int(caps["win1"])
     if mode == "xla_fill":
-        buf = fill_capacity_buffer_xla(box, cap2, kbits)
+        ind2, off2 = fill_capacity_buffer_xla(box, offs_packed, cap2)
     else:
-        buf = fill_capacity_buffer(box, cap2, kbits,
-                                   interpret=(mode == "interpret"))
-    live = buf >= 0
-    ind2 = jnp.where(live, buf >> kbits, -1)
-    slot_k2 = jnp.where(live, buf & ((1 << kbits) - 1), 0)
-    offs_packed = jnp.asarray(_pack_offsets5(tables.offsets))
-    coord2 = _unpack_offsets5(offs_packed[slot_k2]) * live[..., None]
+        ind2, off2 = fill_capacity_buffer(box, offs_packed, cap2,
+                                          interpret=(mode == "interpret"))
+    live = ind2 >= 0
+    coord2 = _unpack_offsets5(off2) * live[..., None]
 
     if tables.single_scale:
         out = {"win1": {"ind": ind2, "coord": coord2, "mask": ind2 < 0}}
@@ -461,12 +456,9 @@ def gather_window_voxels(
     mode = _fill_mode()
     if (mode != "off" and derivable and batch_size is not None
             and tables.col_src is not None):
-        kp = (-(-k_total // 128)) * 128
-        kbits = max(int(kp - 1).bit_length(), 1)
-        if (v << kbits) < jnp.iinfo(jnp.int32).max:
-            return _gather_via_own_cells(
-                win_coords, win_valid, coords, valid, win_grid, win1_size,
-                tables, caps, names, batch_size, return_inverse, mode)
+        return _gather_via_own_cells(
+            win_coords, win_valid, coords, valid, win_grid, win1_size,
+            tables, caps, names, batch_size, return_inverse, mode)
 
     ws = jnp.asarray(ws_np)
     vox_xyz = coords[:, [3, 2, 1]]
