@@ -31,14 +31,22 @@ import numpy as np
 from flax import linen as nn
 
 from ...core.sparse import SparseVoxels
+from ...ops.pallas_fill import PACK5_ZERO
 from ...ops.sampling import (
     farthest_point_sample,
+    farthest_point_sample_planes,
     gather_along_batch,
     group_features,
     three_interpolate,
     three_nn,
+    three_nn_planes,
 )
 from ...ops.window import build_query_tables, gather_window_voxels, window_partition
+
+
+def _unpack_planes(p: jnp.ndarray):
+    """Packed 5-bit-biased offsets -> three int32 component planes."""
+    return ((p >> 10) & 31) - 16, ((p >> 5) & 31) - 16, (p & 31) - 16
 from ..model_utils.attention import MixedScaleAttention
 from ..model_utils.layers import DropPath, PosProjection
 
@@ -135,19 +143,30 @@ class MsSVTBlock(nn.Module):
 
         # --- FPS key selection per scale (ref :247-258). Both scales ride
         # ONE sequential FPS loop: the win1 buffer is padded to the win2
-        # capacity (-1 rows = zero coords, exactly the existing padding
+        # capacity (PACK5_ZERO rows = zero coords, the existing padding
         # convention, masked afterwards) and stacked along the window axis —
         # halving the number of latency-bound sequential iterations.
+        # Coordinates travel as PACKED single-channel ints unpacked into
+        # per-component (NW, cap) PLANES: a trailing length-3 axis runs every
+        # elementwise op at 3/128 lane utilization (measured ~5x slower).
         n1, n2 = win1b["ind"].shape[1], win2b["ind"].shape[1]
         if n1 < n2:
             pad_ind = jnp.pad(win1b["ind"], ((0, 0), (0, n2 - n1)),
                               constant_values=-1)
-            pad_coord = jnp.pad(win1b["coord"], ((0, 0), (0, n2 - n1), (0, 0)))
+            pad_p = jnp.pad(win1b["coordp"], ((0, 0), (0, n2 - n1)),
+                            constant_values=PACK5_ZERO)
         else:
-            pad_ind, pad_coord = win1b["ind"], win1b["coord"]
+            pad_ind, pad_p = win1b["ind"], win1b["coordp"]
         both_ind = jnp.concatenate([pad_ind, win2b["ind"]], axis=0)
-        both_coord = jnp.concatenate([pad_coord, win2b["coord"]], axis=0)
-        k_ind, k_mask, fps = _fps_keys(both_ind, both_coord, self.key_num_sample)
+        both_p = jnp.concatenate([pad_p, win2b["coordp"]], axis=0)
+        bx, by, bz = _unpack_planes(both_p)
+        fps = farthest_point_sample_planes(
+            bx.astype(jnp.float32), by.astype(jnp.float32),
+            bz.astype(jnp.float32), self.key_num_sample)
+        # mask repeated selections of slot 0 (ref :248-252)
+        fps_mask = (fps == 0).at[:, 0].set(False)
+        k_ind = jnp.take_along_axis(both_ind, fps, axis=1)
+        k_mask = fps_mask | (k_ind < 0)
         nw = win1b["ind"].shape[0]
         k_ind1, k_ind2 = k_ind[:nw], k_ind[nw:]
         k_mask1, k_mask2 = k_mask[:nw], k_mask[nw:]
@@ -172,39 +191,57 @@ class MsSVTBlock(nn.Module):
         k_fea1 = gather_along_batch(win1_fea, fps1) * (~k_mask1)[..., None]
         k_fea2 = group_features(x, k_ind2)
 
-        # metric center of a buffer slot = window-center voxel + offset
-        vs = jnp.asarray(sp.voxel_size, jnp.float32)
-        mins = jnp.asarray(sp.point_cloud_range[:3], jnp.float32)
-        ws = jnp.asarray(self.win1, jnp.int32)
-        ctr_vox = win_coords[:, [3, 2, 1]] * ws + ws // 2  # (NW, 3) xyz
+        # metric center of a buffer slot = window-center voxel + offset,
+        # all computed on per-component (NW, cap) planes
+        vsx, vsy, vsz = (float(v_) for v_ in sp.voxel_size)
+        minx, miny, minz = (float(v_) for v_ in sp.point_cloud_range[:3])
+        wx, wy, wz = self.win1
+        ctr_x = (win_coords[:, 3] * wx + wx // 2)[:, None]  # (NW, 1)
+        ctr_y = (win_coords[:, 2] * wy + wy // 2)[:, None]
+        ctr_z = (win_coords[:, 1] * wz + wz // 2)[:, None]
 
-        def slot_metric(off, empty_mask):
-            xyz = (ctr_vox[:, None, :] + off).astype(jnp.float32)
-            m = (xyz + 0.5) * vs + mins
-            return m * (~empty_mask)[..., None]  # zeros where empty (parity)
+        def slot_metric_planes(p, empty_mask):
+            ox, oy, oz = _unpack_planes(p)
+            keep = (~empty_mask).astype(jnp.float32)
+            mx = (((ctr_x + ox).astype(jnp.float32) + 0.5) * vsx + minx) * keep
+            my = (((ctr_y + oy).astype(jnp.float32) + 0.5) * vsy + miny) * keep
+            mz = (((ctr_z + oz).astype(jnp.float32) + 0.5) * vsz + minz) * keep
+            return mx, my, mz
 
-        q_coord = slot_metric(q["coord"], q["mask"])  # (NW, nq, 3)
-        win1_coord = slot_metric(win1b["coord"], win1b["mask"])  # (NW, n1, 3)
-        k_coord1 = slot_metric(
-            gather_along_batch(win1b["coord"], fps1), k_mask1)
-        k_coord2 = slot_metric(
-            gather_along_batch(win2b["coord"], fps2), k_mask2)
-        win_center = _window_metric_centers(
-            win_coords, sp.voxel_size, self.win1, sp.point_cloud_range
-        )  # (NW, 3)
+        q_m = slot_metric_planes(q["coordp"], q["mask"])
+        win1_m = slot_metric_planes(win1b["coordp"], win1b["mask"])
+        k_m1 = slot_metric_planes(
+            jnp.take_along_axis(win1b["coordp"], fps1, axis=1), k_mask1)
+        k_m2 = slot_metric_planes(
+            jnp.take_along_axis(win2b["coordp"], fps2, axis=1), k_mask2)
+        # window metric center planes (≡ _window_metric_centers)
+        wcx = (win_coords[:, 3].astype(jnp.float32) + 0.5) * (vsx * wx) + minx
+        wcy = (win_coords[:, 2].astype(jnp.float32) + 0.5) * (vsy * wy) + miny
+        wcz = (win_coords[:, 1].astype(jnp.float32) + 0.5) * (vsz * wz) + minz
 
-        # --- relative positions, masked to zero (ref :271-276)
-        wc = win_center[:, None, :]
-        k_rel1 = (k_coord1 - wc) * (~k_mask1)[..., None]
-        k_rel2 = (k_coord2 - wc) * (~k_mask2)[..., None]
-        q_rel = (q_coord - wc) * (~q["mask"])[..., None]
+        # --- relative positions, masked to zero (ref :271-276); the 6-dim
+        # pos-projection input is assembled with ONE stack at the end
+        def rel_planes(m, empty_mask):
+            keep = (~empty_mask).astype(jnp.float32)
+            return ((m[0] - wcx[:, None]) * keep,
+                    (m[1] - wcy[:, None]) * keep,
+                    (m[2] - wcz[:, None]) * keep)
+
+        def pos_input(r, n):
+            b1 = jnp.broadcast_to(wcx[:, None], r[0].shape)
+            b2 = jnp.broadcast_to(wcy[:, None], r[0].shape)
+            b3 = jnp.broadcast_to(wcz[:, None], r[0].shape)
+            return jnp.stack([r[0], r[1], r[2], b1, b2, b3], axis=-1)
+
+        q_rel = rel_planes(q_m, q["mask"])
+        k_rel1 = rel_planes(k_m1, k_mask1)
+        k_rel2 = rel_planes(k_m2, k_mask2)
+        k_rel = tuple(jnp.concatenate([a, b], axis=1)
+                      for a, b in zip(k_rel1, k_rel2))
 
         # --- position embeddings (ref :278-282)
-        q_pos = self.pos_proj(jnp.concatenate(
-            [q_rel, jnp.broadcast_to(wc, q_rel.shape)], axis=-1))
-        k_rel = jnp.concatenate([k_rel1, k_rel2], axis=1)  # (NW, 2*nk, 3)
-        k_pos = self.pos_proj(jnp.concatenate(
-            [k_rel, jnp.broadcast_to(wc, k_rel.shape)], axis=-1))
+        q_pos = self.pos_proj(pos_input(q_rel, q_rel[0].shape[1]))
+        k_pos = self.pos_proj(pos_input(k_rel, k_rel[0].shape[1]))
         q_fea = q_fea + q_pos
         k_fea = jnp.concatenate([k_fea1, k_fea2], axis=1) + k_pos
         k_mask = jnp.concatenate([k_mask1, k_mask2], axis=1)  # (NW, 2*nk)
@@ -221,7 +258,8 @@ class MsSVTBlock(nn.Module):
         # to zeros); their features are query-masked to ~0, so they dilute but
         # do not corrupt.
         if self.use_feature_interpolation:
-            d2, idx3 = three_nn(win1_coord, q_coord)
+            d2, idx3 = three_nn_planes(
+                win1_m[0], win1_m[1], win1_m[2], q_m[0], q_m[1], q_m[2])
             d2 = jnp.clip(d2, 1e-10, None)
             w = 1.0 / d2
             w = w / jnp.sum(w, axis=-1, keepdims=True)

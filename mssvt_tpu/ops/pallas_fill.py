@@ -28,6 +28,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# 5-bit-biased pack of offset (0, 0, 0) — the padding value for offset
+# buffers, so empty slots unpack to zero coordinates (reference zero-padding)
+PACK5_ZERO = (16 << 10) | (16 << 5) | 16
+
 
 def _fill_kernel(box_ref, lt_ref, off_ref, vox_ref, offo_ref, *, cap):
     box = box_ref[:]                      # (R, Kp) int32, -1 = empty
@@ -47,13 +51,14 @@ def _fill_kernel(box_ref, lt_ref, off_ref, vox_ref, offo_ref, *, cap):
     # Early-exit on the tile's densest window.
     tile_max = jnp.max(jnp.sum(occ.astype(jnp.int32), axis=1))
     vox_ref[:] = jnp.full(vox_ref.shape, -1, jnp.int32)
-    offo_ref[:] = jnp.zeros(offo_ref.shape, jnp.int32)
+    offo_ref[:] = jnp.full(offo_ref.shape, PACK5_ZERO, jnp.int32)
     for j in range(cap):
         @pl.when(j < tile_max)
         def _():
             sel = occ & (rank == j)
             vox_ref[:, j] = jnp.max(jnp.where(sel, box, -1), axis=1)
-            offo_ref[:, j] = jnp.max(jnp.where(sel, offvec, 0), axis=1)
+            oc = jnp.max(jnp.where(sel, offvec, -1), axis=1)
+            offo_ref[:, j] = jnp.where(oc >= 0, oc, PACK5_ZERO)
 
 
 def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
@@ -120,7 +125,7 @@ def fill_capacity_buffer_xla(box: jnp.ndarray, offs_packed, cap: int):
     vox = jnp.full((nw * cap,), -1, jnp.int32).at[dest].set(
         box.reshape(-1), mode="drop", unique_indices=True
     ).reshape(nw, cap)
-    off = jnp.zeros((nw * cap,), jnp.int32).at[dest].set(
+    off = jnp.full((nw * cap,), PACK5_ZERO, jnp.int32).at[dest].set(
         offv.reshape(-1), mode="drop", unique_indices=True
     ).reshape(nw, cap)
     return vox, off

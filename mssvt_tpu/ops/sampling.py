@@ -65,6 +65,73 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     return out
 
 
+def farthest_point_sample_planes(x: jnp.ndarray, y: jnp.ndarray,
+                                 z: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """:func:`farthest_point_sample` on component planes.
+
+    Identical semantics/arithmetic, but coordinates arrive as three (B, N)
+    arrays instead of (B, N, 3): every elementwise op in the sequential loop
+    then runs at full lane width. A trailing length-3 axis puts 3 of 128
+    lanes to work and measured ~5x slower at Waymo scale.
+    """
+    b, n = x.shape
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    z = z.astype(jnp.float32)
+    ar = jnp.arange(n, dtype=jnp.int32)
+
+    def body(i, carry):
+        min_dist, last, out = carry
+        sel = (ar[None, :] == last[:, None]).astype(jnp.float32)  # (B, N)
+        lx = jnp.einsum("bn,bn->b", sel, x)[:, None]
+        ly = jnp.einsum("bn,bn->b", sel, y)[:, None]
+        lz = jnp.einsum("bn,bn->b", sel, z)[:, None]
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        min_dist = jnp.minimum(min_dist, d)
+        nxt = jnp.argmax(min_dist, axis=1).astype(jnp.int32)
+        out = out.at[:, i].set(nxt)
+        return min_dist, nxt, out
+
+    out = jnp.zeros((b, npoint), jnp.int32)  # slot 0 = index 0
+    init = (jnp.full((b, n), 1e10, jnp.float32), jnp.zeros((b,), jnp.int32), out)
+    _, _, out = jax.lax.fori_loop(1, npoint, body, init)
+    return out
+
+
+def three_nn_planes(ux, uy, uz, kx, ky, kz):
+    """:func:`three_nn` on component planes ((B, n) x3 vs (B, m) x3)."""
+    u2 = ux * ux + uy * uy + uz * uz  # (B, n)
+    k2 = kx * kx + ky * ky + kz * kz  # (B, m)
+    cross = (
+        jnp.einsum("bn,bm->bnm", ux, kx, preferred_element_type=jnp.float32)
+        + jnp.einsum("bn,bm->bnm", uy, ky, preferred_element_type=jnp.float32)
+        + jnp.einsum("bn,bm->bnm", uz, kz, preferred_element_type=jnp.float32)
+    )
+    d2 = jnp.maximum(u2[:, :, None] + k2[:, None, :] - 2.0 * cross, 0.0)
+    m = kx.shape[1]
+    k_eff = min(3, m)
+    picked_d, picked_i = [], []
+    work = d2
+    mar = jnp.arange(m)
+    for _ in range(k_eff):
+        i_k = jnp.argmin(work, axis=-1)
+        d_k = jnp.min(work, axis=-1)
+        picked_i.append(i_k)
+        picked_d.append(d_k)
+        work = jnp.where(mar == i_k[..., None], jnp.inf, work)
+    neg = -jnp.stack(picked_d, axis=-1)
+    idx = jnp.stack(picked_i, axis=-1)
+    if k_eff < 3:
+        pad = 3 - k_eff
+        neg = jnp.concatenate(
+            [neg, jnp.full(neg.shape[:-1] + (pad,), -1e40, neg.dtype)], axis=-1
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1
+        )
+    return -neg, idx.astype(jnp.int32)
+
+
 def farthest_point_sample_masked(xyz: jnp.ndarray, valid: jnp.ndarray,
                                  npoint: int) -> jnp.ndarray:
     """FPS that never selects invalid rows (until valid ones run out).

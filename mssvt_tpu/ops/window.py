@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_fill import fill_capacity_buffer, fill_capacity_buffer_xla
+from .pallas_fill import (
+    PACK5_ZERO,
+    fill_capacity_buffer,
+    fill_capacity_buffer_xla,
+)
 
 from ..core.index import (
     INVALID_KEY,
@@ -241,12 +245,18 @@ def _unpack_offsets5(p: jnp.ndarray) -> jnp.ndarray:
     ], axis=-1).astype(jnp.int32)
 
 
-def _derive_from_win2(ind2, coord2, odd_cnt, even_cnt, win1_cnt, names, caps):
+def _derive_from_win2(ind2, coord2, coordp2, odd_cnt, even_cnt, win1_cnt,
+                      names, caps):
     """Derive the odd/even/win1 buffers as contiguous runs of the win2 buffer.
 
     The win2 buffer fills in global table order (odd ks, then even, then
     rest-of-win1, then out-of-win1), so odd/win1 are prefixes and even starts
     at the window's odd count (see gather_window_voxels docstring).
+
+    Each buffer carries both ``coord`` (NW, cap, 3) and the packed single-
+    channel ``coordp`` (NW, cap); hot-path consumers use ``coordp`` (trailing
+    length-3 axes waste 125/128 lanes on every TPU elementwise op) and unused
+    representations are dead-code-eliminated.
     """
     cap2 = ind2.shape[1]
     out = {}
@@ -254,20 +264,26 @@ def _derive_from_win2(ind2, coord2, odd_cnt, even_cnt, win1_cnt, names, caps):
         cap = int(caps[name])
         j = jnp.arange(cap)
         if name == "win2":
-            out[name] = {"ind": ind2, "coord": coord2, "mask": ind2 < 0}
+            out[name] = {"ind": ind2, "coord": coord2, "coordp": coordp2,
+                         "mask": ind2 < 0}
         elif name in ("odd", "win1"):
             cnt = odd_cnt if name == "odd" else win1_cnt
             live = j[None, :] < cnt[:, None]
             ind = jnp.where(live, ind2[:, :cap], -1)
             coord = coord2[:, :cap] * live[..., None]
-            out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+            coordp = jnp.where(live, coordp2[:, :cap], PACK5_ZERO)
+            out[name] = {"ind": ind, "coord": coord, "coordp": coordp,
+                         "mask": ind < 0}
         else:  # even: run starting at the window's odd count
             pos = jnp.clip(odd_cnt[:, None] + j[None, :], 0, cap2 - 1)
             live = j[None, :] < even_cnt[:, None]
             ind = jnp.where(live, jnp.take_along_axis(ind2, pos, axis=1), -1)
             coord = jnp.take_along_axis(
                 coord2, pos[..., None], axis=1) * live[..., None]
-            out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+            coordp = jnp.where(
+                live, jnp.take_along_axis(coordp2, pos, axis=1), PACK5_ZERO)
+            out[name] = {"ind": ind, "coord": coord, "coordp": coordp,
+                         "mask": ind < 0}
     return out
 
 
@@ -350,7 +366,8 @@ def _gather_via_own_cells(
     coord2 = _unpack_offsets5(off2) * live[..., None]
 
     if tables.single_scale:
-        out = {"win1": {"ind": ind2, "coord": coord2, "mask": ind2 < 0}}
+        out = {"win1": {"ind": ind2, "coord": coord2, "coordp": off2,
+                        "mask": ind2 < 0}}
         return out
 
     occf = (box >= 0).astype(jnp.float32)
@@ -359,7 +376,7 @@ def _gather_via_own_cells(
     counts = jnp.dot(occf, elig3,
                      preferred_element_type=jnp.float32).astype(jnp.int32)
     odd_cnt, even_cnt, win1_cnt = counts[:, 0], counts[:, 1], counts[:, 2]
-    out = _derive_from_win2(ind2, coord2, odd_cnt, even_cnt, win1_cnt,
+    out = _derive_from_win2(ind2, coord2, off2, odd_cnt, even_cnt, win1_cnt,
                             names, caps)
 
     if return_inverse:
@@ -603,14 +620,15 @@ def gather_window_voxels(
         ).reshape(nw, cap2)
         ind2 = jnp.where(buf >= 0, buf >> k_bits, -1)
         slot_k2 = jnp.where(buf >= 0, buf & ((1 << k_bits) - 1), 0)
+        coordp2 = jnp.where(buf >= 0, offs_packed[slot_k2], PACK5_ZERO)
         coord2 = _unpack_off(offs_packed[slot_k2]) * (buf >= 0)[..., None]
 
         odd_cnt = (occ & elig_tab[None, :, ODD]).sum(axis=1)  # (NW,)
         even_cnt = (occ & elig_tab[None, :, EVEN]).sum(axis=1)
         win1_cnt = (occ & elig_tab[None, :, WIN1]).sum(axis=1)
 
-        out = _derive_from_win2(ind2, coord2, odd_cnt, even_cnt, win1_cnt,
-                                names, caps)
+        out = _derive_from_win2(ind2, coord2, coordp2, odd_cnt, even_cnt,
+                                win1_cnt, names, caps)
         if return_inverse:
             # voxel -> (window row, win1 slot), same run-prefix argument as
             # the own-cell path: a win1 hit's win2-fill rank IS its win1 slot
@@ -668,5 +686,12 @@ def gather_window_voxels(
             coord = jnp.zeros((nw * capacity, 3), jnp.int32).at[dest].set(
                 cand_off, mode="drop", unique_indices=True
             ).reshape(nw, capacity, 3)
-        out[name] = {"ind": ind, "coord": coord, "mask": ind < 0}
+        coordp = jnp.where(
+            ind >= 0,
+            ((coord[..., 0] + 16) << 10) | ((coord[..., 1] + 16) << 5)
+            | (coord[..., 2] + 16),
+            PACK5_ZERO,
+        )
+        out[name] = {"ind": ind, "coord": coord, "coordp": coordp,
+                     "mask": ind < 0}
     return out
