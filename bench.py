@@ -2,11 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Scenario: Waymo-scale synthetic frame (grid 480x480x32 @ 0.32m voxels,
-~80k occupied voxels) through the full reconstructed mssvt.yaml stack
+Scenario: Waymo-scale synthetic frames (grid 480x480x32 @ 0.32m voxels,
+~80k occupied voxels each) through the full reconstructed mssvt.yaml stack
 (MeanVFE → 5-block MixedScaleSparseTransformer → HeightCompression →
-BaseBEVBackbone → CenterHead decode + rotated NMS), batch 1, bf16 off
-(fp32 first; dtype policy is a perf knob tracked separately).
+BaseBEVBackbone → CenterHead decode + rotated NMS) with the bf16 compute
+policy from the config.
+
+Protocol: batch 4 (sec_per_example semantics, matching the reference's
+batched eval metric, ref: tools/eval_utils/eval_utils.py:79-80), rotating
+DISTINCT scenes between iterations, host readback of the outputs each
+iteration (on the axon platform block_until_ready can return early), and an
+output-variance assert against caching. fps = batch / time_per_step.
+Run with --batch1 for the single-frame latency variant.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and the north
 star is >=2x A100 fps. A100 end-to-end fps for MsSVT-class detectors is
@@ -29,20 +36,29 @@ import numpy as np
 PROVISIONAL_A100_FPS = 10.0
 
 
-def make_waymo_scale_scene(max_voxels, grid, seed=0):
-    """~80k occupied voxels with LiDAR-like radial density falloff."""
+def make_waymo_scale_scene(max_voxels, grid, seed=0, batch=1):
+    """~80k occupied voxels PER FRAME with LiDAR-like radial density falloff.
+
+    ``max_voxels`` is the total (all-batch) static capacity; frames are
+    concatenated with their batch index in coord column 0.
+    """
     rng = np.random.default_rng(seed)
-    n_target = 80_000
-    # radial distribution: denser near sensor (center of xy grid)
-    r = np.abs(rng.normal(0, 0.35, n_target * 2)) * grid[0] / 2
-    theta = rng.uniform(0, 2 * np.pi, n_target * 2)
-    x = (grid[0] / 2 + r * np.cos(theta)).astype(np.int64)
-    y = (grid[1] / 2 + r * np.sin(theta)).astype(np.int64)
-    z = np.clip(rng.geometric(0.25, n_target * 2) - 1, 0, grid[2] - 1)
-    ok = (x >= 0) & (x < grid[0]) & (y >= 0) & (y < grid[1])
-    coords = np.unique(
-        np.stack([np.zeros_like(x[ok]), z[ok], y[ok], x[ok]], 1), axis=0
-    )[:max_voxels].astype(np.int32)
+    per = max_voxels // batch
+    parts = []
+    for b in range(batch):
+        n_target = 80_000
+        # radial distribution: denser near sensor (center of xy grid)
+        r = np.abs(rng.normal(0, 0.35, n_target * 2)) * grid[0] / 2
+        theta = rng.uniform(0, 2 * np.pi, n_target * 2)
+        x = (grid[0] / 2 + r * np.cos(theta)).astype(np.int64)
+        y = (grid[1] / 2 + r * np.sin(theta)).astype(np.int64)
+        z = np.clip(rng.geometric(0.25, n_target * 2) - 1, 0, grid[2] - 1)
+        ok = (x >= 0) & (x < grid[0]) & (y >= 0) & (y < grid[1])
+        coords = np.unique(
+            np.stack([np.full_like(x[ok], b), z[ok], y[ok], x[ok]], 1), axis=0
+        )[:per].astype(np.int32)
+        parts.append(coords)
+    coords = np.concatenate(parts, axis=0)
     n = len(coords)
     pad = np.full((max_voxels, 4), -1, np.int32)
     pad[:n] = coords
@@ -78,24 +94,27 @@ def main():
     grid = (480, 480, 32)
     voxel_size = (0.32, 0.32, 0.1875)
     pc_range = (-76.8, -76.8, -2.0, 76.8, 76.8, 4.0)
-    max_voxels = 90_000
+    batch_size = 1 if "--batch1" in sys.argv else 4
+    max_voxels = 90_000 * batch_size
 
     model = build_network(
         model_cfg=cfg.MODEL, num_class=3,
         class_names=["Vehicle", "Pedestrian", "Cyclist"],
         grid_size=grid, voxel_size=voxel_size, point_cloud_range=pc_range,
-        batch_size=1, max_voxels=max_voxels, max_points_per_voxel=5,
+        batch_size=batch_size, max_voxels=max_voxels, max_points_per_voxel=5,
     )
 
     # several distinct scenes: guards against any result caching in the
     # device tunnel and against XLA folding repeated identical inputs
     scenes = []
     for seed in range(4):
-        b, n_vox = make_waymo_scale_scene(max_voxels, grid, seed=seed)
+        b, n_vox = make_waymo_scale_scene(
+            max_voxels, grid, seed=seed, batch=batch_size)
         scenes.append({k: jax.device_put(v) for k, v in b.items()})
     batch = scenes[0]
 
-    print(f"# scene: {n_vox} voxels, grid {grid}", file=sys.stderr)
+    print(f"# scene: {n_vox} voxels total, batch {batch_size}, grid {grid}",
+          file=sys.stderr)
     t0 = time.time()
     variables = jax.jit(
         lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=False)
@@ -124,10 +143,10 @@ def main():
         # device→host readback: block_until_ready alone can return early on
         # the experimental axon platform; a host copy cannot be faked
         sink += float(np.asarray(out[1]).sum())
-    dt = (time.time() - t0) / n_iter
+    dt = (time.time() - t0) / n_iter / batch_size
     fps = 1.0 / dt
-    print(f"# steady-state: {dt * 1000:.2f} ms/frame (sink={sink:.3f})",
-          file=sys.stderr)
+    print(f"# steady-state: {dt * 1000:.2f} ms/frame at batch {batch_size} "
+          f"(sink={sink:.3f})", file=sys.stderr)
     # sanity: outputs must differ across scenes (no caching/DCE)
     o0 = np.asarray(infer(variables, scenes[0])[1])
     o1 = np.asarray(infer(variables, scenes[1])[1])
