@@ -239,7 +239,10 @@ class MsSVTBlock(nn.Module):
         k_rel = tuple(jnp.concatenate([a, b], axis=1)
                       for a, b in zip(k_rel1, k_rel2))
 
-        # --- position embeddings (ref :278-282)
+        # --- position embeddings (ref :278-282). Folding this MLP into the
+        # attention kernel was tried and measured ~4ms SLOWER (lane-8 pos
+        # inputs load poorly; the plane stack dominates and remains either
+        # way) — kept in XLA.
         q_pos = self.pos_proj(pos_input(q_rel, q_rel[0].shape[1]))
         k_pos = self.pos_proj(pos_input(k_rel, k_rel[0].shape[1]))
         q_fea = q_fea + q_pos

@@ -113,20 +113,15 @@ class MixedScaleAttention(nn.Module):
                 bp = bp.at[sl].set(pp["bias"])
                 start += sd
 
-            dt = self.dtype
-            q_all = query.astype(dt) @ wq.astype(dt) + bq.astype(dt)
-            k_all = keys.astype(dt) @ wk.astype(dt) + bk.astype(dt)
-            v_all = keys.astype(dt) @ wv.astype(dt) + bv.astype(dt)
             if key_masks is not None:
                 bias = jnp.where(key_masks, KEY_PAD_NEG, 0.0).astype(jnp.float32)
             else:
                 bias = jnp.zeros((b, tot_nk), jnp.float32)
-            core = fused_window_attention(
-                q_all, k_all, v_all, bias, num_heads=tuple(self.num_heads),
-                scale=scale,
+            out = fused_window_attention(
+                query, keys, (wq, bq, wk, bk, wv, bv, wp, bp), bias,
+                num_heads=tuple(self.num_heads), scale=scale,
                 interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
             )
-            out = core.astype(dt) @ wp.astype(dt) + bp.astype(dt)
             if query_mask is not None:
                 out = out * (~query_mask)[..., None].astype(out.dtype)
             return out

@@ -5,28 +5,35 @@ Replaces the XLA einsum chain inside ``MixedScaleAttention``
 attention as per-head batched matmuls (ref: pcdet/models/model_utils/
 mssvt_utils.py:88-157); with ~24k windows of nq=32 queries x nk=32 keys x
 32-dim heads those lower to MXU-hostile tiny batched GEMMs with ~8 HBM
-round-trips of ~100 MB intermediates (~24 ms/frame measured at Waymo scale).
+round-trips of ~100 MB intermediates (~24 ms/frame measured at Waymo scale),
+and the per-group projection slicing around them measured another ~70 ms of
+pure data movement.
 
-Kernel strategy — every step is a full-width 2D MXU op (Mosaic punishes both
-per-window unrolls, which explode compile time, and per-window ``fori_loop``
-bodies, which serialize at ~20 us/iteration):
+Kernel strategy — everything from the q/k/v projections to the output
+projection fuses into one pass per window supertile; every step is a
+full-width 2D MXU op (Mosaic punishes both per-window unrolls, which explode
+compile time, and per-window ``fori_loop`` bodies, which serialize at ~20 us
+per iteration):
 
-- WB windows form one supertile. Queries/keys/values are flat 2D
-  ``(WB*n, D)`` slabs (pure reshapes outside the kernel).
+- WB windows form one supertile. Raw queries/keys are flat 2D ``(WB*n, D)``
+  slabs (pure reshapes outside the kernel); q/k/v/out projections are
+  BLOCK-DIAGONAL (D, D) weight matrices (assembled from the per-group Dense
+  params) applied in VMEM — keys are read from HBM once for both K and V.
 - The per-head block-diagonal K/V expansion is a dot against a static 0/1
   replication matrix P, masked by a static channel mask:
   ``Kexp = (P @ K) * M`` — rows of Kexp are [win0: head0 keys | head1 keys
-  | ...][win1: ...], zeroed outside each head's channel slice.
+  | ...][win1: ...], zeroed outside each head's channel slice (this also
+  erases the off-group garbage the block-diagonal K/V projections produce).
 - Scores ``S = Q @ Kexp^T`` cover all window pairs; a computed iota mask
   kills cross-window entries (-1e9).
 - Blockwise softmax without per-block slicing: subtract the ROW max (softmax
   is shift-invariant per block), exponentiate, and obtain per-(window, head)
   denominators with a thin block-sum matmul ``(e @ BS2) @ BS2^T``.
-- ``O = A @ Vexp`` lands each head's output back in its channel slice
-  (Vexp rows are channel-masked, so cross-head contributions are zero).
+- ``O = (A @ Vexp) @ Wp + bp`` lands each head's output back in its channel
+  slice (Vexp rows are channel-masked, Wp is block-diagonal).
 
-~16x redundant MACs at WB=4, but every dot is lane-aligned and q/k/v are
-read from HBM exactly once.
+~16x redundant MACs at WB=4, but every dot is lane-aligned and raw
+queries/keys cross HBM exactly once in each direction.
 
 Head layout contract (matches MixedScaleAttention): channels are
 [group0 head0 | group0 head1 | group1 head0 | ...] with a uniform per-head
@@ -76,18 +83,30 @@ def _static_mats(num_heads, embed_dim, nk_tot, wb):
     return p, mv, bs2
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, p_ref, mv_ref, bs2_ref,
-                 o_ref, *, nq, nt, scale, out_dtype):
+def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, p_ref, mv_ref,
+                 bs2_ref, o_ref, *, nq, nt, scale, out_dtype):
     bf = jnp.bfloat16
-    kexp = (jax.lax.dot(p_ref[:], k_ref[:],
+    d = q_ref.shape[1]
+    wq, wk, wv, wp = (w_ref[i] for i in range(4))  # (D, D) each
+    bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))  # (1, D)
+
+    kraw = k_ref[:]
+    q = (jax.lax.dot(q_ref[:], wq, preferred_element_type=jnp.float32)
+         + bq).astype(bf)  # (WB*nq, D)
+    k = (jax.lax.dot(kraw, wk, preferred_element_type=jnp.float32)
+         + bk).astype(bf)  # (WB*nkt, D)
+    v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
+         + bv).astype(bf)
+
+    kexp = (jax.lax.dot(p_ref[:], k,
                         preferred_element_type=jnp.float32).astype(bf)
             * mv_ref[:])  # (WB*nt, D)
-    vexp = (jax.lax.dot(p_ref[:], v_ref[:],
+    vexp = (jax.lax.dot(p_ref[:], v,
                         preferred_element_type=jnp.float32).astype(bf)
             * mv_ref[:])
 
     s = jax.lax.dot_general(
-        q_ref[:], kexp, (((1,), (1,)), ((), ())),
+        q, kexp, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (WB*nq, WB*nt)
     s = s * scale + bias_ref[0, 0:1].astype(jnp.float32)  # bias (1, WB*nt)
@@ -109,6 +128,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, p_ref, mv_ref, bs2_ref,
     a = e / (denom + 1e-30)
 
     o = jax.lax.dot(a.astype(bf), vexp, preferred_element_type=jnp.float32)
+    o = jax.lax.dot(o.astype(bf), wp, preferred_element_type=jnp.float32) + bp
     o_ref[:] = o.astype(out_dtype)
 
 
@@ -117,36 +137,42 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, p_ref, mv_ref, bs2_ref,
     static_argnames=("num_heads", "scale", "window_block", "interpret"),
 )
 def fused_window_attention(
-    q: jnp.ndarray,       # (NW, nq, D) — post to_q projection, NOT scaled
-    k: jnp.ndarray,       # (NW, nk_tot, D) — post to_kv projection
-    v: jnp.ndarray,       # (NW, nk_tot, D)
+    query: jnp.ndarray,   # (NW, nq, D) RAW (pre-projection)
+    keys: jnp.ndarray,    # (NW, nk_tot, D) RAW
+    proj: Tuple[jnp.ndarray, ...],  # (wq, bq, wk, bk, wv, bv, wp, bp)
     key_bias: jnp.ndarray,  # (NW, nk_tot) additive (e.g. -100 where padded)
     num_heads: Tuple[int, ...],
     scale: float,
     window_block: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """All-heads window attention, softmax(q@kT*scale + bias)@v per head."""
-    nw, nq, d = q.shape
-    nk_tot = k.shape[1]
-    tot_heads, per_head, nk, key_block = _head_layout(num_heads, d, nk_tot)
+    """Fully-fused window attention:
+    ``out = softmax(q@Wq (kexp@Wk)^T * scale + bias) @ (v@Wv) @ Wp`` with the
+    block-diagonal head structure of MixedScaleAttention."""
+    nw, nq, d = query.shape
+    nk_tot = keys.shape[1]
+    tot_heads, per_head, nk, _ = _head_layout(num_heads, d, nk_tot)
     nt = tot_heads * nk
     assert per_head * tot_heads == d and nk * len(num_heads) == nk_tot
 
     wb = window_block
     pad = (-nw) % wb
     if pad:
-        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        query = jnp.pad(query, ((0, pad), (0, 0), (0, 0)))
+        keys = jnp.pad(keys, ((0, pad), (0, 0), (0, 0)))
         key_bias = jnp.pad(key_bias, ((0, pad), (0, 0)))
     nwp = nw + pad
 
     bf = jnp.bfloat16
-    q2 = q.astype(bf).reshape(nwp * nq, d)
-    k2 = k.astype(bf).reshape(nwp * nk_tot, d)
-    v2 = v.astype(bf).reshape(nwp * nk_tot, d)
+    q2 = query.astype(bf).reshape(nwp * nq, d)
+    k2 = keys.astype(bf).reshape(nwp * nk_tot, d)
+    wq, bq, wk, bk, wv, bv, wp, bp = proj
+    wmats = jnp.stack([wq, wk, wv, wp]).astype(bf)  # (4, D, D)
+    bvec = jnp.stack([bq, bk, bv, bp]).astype(bf)   # (4, D)
+    bvec = jnp.pad(bvec, ((0, 4), (0, 0)))          # (8, D) sublane tile
+
     # bias expanded to per-head columns [head0 keys | head1 keys | ...]
+    key_block = _head_layout(num_heads, d, nk_tot)[3]
     bias_exp = jnp.concatenate(
         [key_bias[:, key_block[t] * nk:(key_block[t] + 1) * nk]
          for t in range(tot_heads)], axis=1)  # (nwp, nt)
@@ -160,7 +186,7 @@ def fused_window_attention(
     p_np, mv_np, bs2_np = _static_mats(num_heads, d, nk_tot, wb)
 
     kernel = functools.partial(
-        _attn_kernel, nq=nq, nt=nt, scale=float(scale), out_dtype=q.dtype,
+        _attn_kernel, nq=nq, nt=nt, scale=float(scale), out_dtype=query.dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -170,9 +196,11 @@ def fused_window_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wb * nk_tot, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb * nk_tot, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, wb * nt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wb * nt, wb * nk_tot), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -183,8 +211,8 @@ def fused_window_attention(
         ],
         out_specs=pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwp * nq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((nwp * nq, d), query.dtype),
         interpret=interpret,
-    )(q2, k2, v2, bias2,
+    )(q2, k2, bias2, wmats, bvec,
       jnp.asarray(p_np, bf), jnp.asarray(mv_np, bf), jnp.asarray(bs2_np, bf))
     return out.reshape(nwp, nq, d)[:nw]

@@ -16,13 +16,28 @@ from mssvt_tpu.models.model_utils.attention import MixedScaleAttention
 from mssvt_tpu.ops.pallas_attention import fused_window_attention
 
 
-def _ref_core(q, k, v, bias, num_heads, scale):
-    """Plain numpy-style reference of the fused kernel contract."""
-    nw, nq, d = q.shape
+def _blockdiag(per_group_ws, d):
+    w = np.zeros((d, d), np.float32)
+    start = 0
+    for wg in per_group_ws:
+        sd = wg.shape[0]
+        w[start:start + sd, start:start + sd] = wg
+        start += sd
+    return w
+
+
+def _ref_full(query, keys, proj, bias, num_heads, scale):
+    """Numpy reference of the fully-fused kernel contract (projections +
+    per-head attention + out projection)."""
+    wq, bq, wk, bk, wv, bv, wp, bp = proj
+    nw, nq, d = query.shape
     groups = len(num_heads)
     tot_heads = sum(num_heads)
     ph = d // tot_heads
-    nk = k.shape[1] // groups
+    nk = keys.shape[1] // groups
+    q = query @ wq + bq
+    k = keys @ wk + bk
+    v = keys @ wv + bv
     out = np.zeros((nw, nq, d), np.float32)
     t = 0
     for g, h in enumerate(num_heads):
@@ -36,27 +51,42 @@ def _ref_core(q, k, v, bias, num_heads, scale):
             a = e / e.sum(-1, keepdims=True)
             out[:, :, ch] = a @ v[:, kr, ch]
             t += 1
-    return out
+    return out @ wp + bp
 
 
-def test_fused_kernel_matches_reference_core():
+def _rand_proj(rng, num_heads, d):
+    tot_heads = sum(num_heads)
+    ph = d // tot_heads
+    sds = [ph * h for h in num_heads]
+    mk = lambda sd: rng.normal(size=(sd, sd)).astype(np.float32) * 0.3
+    wq = _blockdiag([mk(sd) for sd in sds], d)
+    wk = _blockdiag([mk(sd) for sd in sds], d)
+    wv = _blockdiag([mk(sd) for sd in sds], d)
+    wp = _blockdiag([mk(sd) for sd in sds], d)
+    bq, bk, bv, bp = (rng.normal(size=(d,)).astype(np.float32) * 0.1
+                      for _ in range(4))
+    return wq, bq, wk, bk, wv, bv, wp, bp
+
+
+@pytest.mark.parametrize("num_heads", [(2, 2), (1, 3)])
+def test_fused_kernel_matches_reference_core(num_heads):
     rng = np.random.default_rng(0)
     nw, nq, nk_tot, d = 12, 32, 64, 128
-    num_heads = (2, 2)
-    q = rng.normal(size=(nw, nq, d)).astype(np.float32)
-    k = rng.normal(size=(nw, nk_tot, d)).astype(np.float32)
-    v = rng.normal(size=(nw, nk_tot, d)).astype(np.float32)
+    query = rng.normal(size=(nw, nq, d)).astype(np.float32)
+    keys = rng.normal(size=(nw, nk_tot, d)).astype(np.float32)
     km = rng.random((nw, nk_tot)) < 0.3
     bias = np.where(km, -100.0, 0.0).astype(np.float32)
+    proj = _rand_proj(rng, num_heads, d)
     scale = (d // sum(num_heads)) ** -0.5
 
     got = np.asarray(fused_window_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+        jnp.asarray(query), jnp.asarray(keys),
+        tuple(jnp.asarray(p) for p in proj), jnp.asarray(bias),
         num_heads=num_heads, scale=scale, interpret=True,
     )).astype(np.float32)
-    want = _ref_core(q, k, v, bias, num_heads, scale)
+    want = _ref_full(query, keys, proj, bias, num_heads, scale)
     # bf16 inputs inside the kernel -> loose tolerance
-    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.1)
+    np.testing.assert_allclose(got, want, atol=0.5, rtol=0.1)
 
 
 def test_module_fused_path_matches_einsum_path():
@@ -83,20 +113,23 @@ def test_module_fused_path_matches_einsum_path():
     assert np.all(got[np.asarray(qm)] == 0)
 
 
-def test_fused_kernel_uneven_groups():
-    """Groups with different head counts (e.g. [1, 3]) follow the same
-    channel layout contract."""
+def test_module_param_tree_identical_between_paths():
+    """Both paths must create the exact same parameter tree (checkpoints
+    trained with either path load in the other)."""
     rng = np.random.default_rng(2)
-    nw, nq, nk_tot, d = 8, 8, 32, 128
-    num_heads = (1, 3)
-    q = rng.normal(size=(nw, nq, d)).astype(np.float32)
-    k = rng.normal(size=(nw, nk_tot, d)).astype(np.float32)
-    v = rng.normal(size=(nw, nk_tot, d)).astype(np.float32)
-    bias = np.zeros((nw, nk_tot), np.float32)
-    scale = (d // 4) ** -0.5
-    got = np.asarray(fused_window_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
-        num_heads=num_heads, scale=scale, interpret=True,
-    )).astype(np.float32)
-    want = _ref_core(q, k, v, bias, num_heads, scale)
-    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.1)
+    q = jnp.asarray(rng.normal(size=(4, 16, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(4, 32, 64)).astype(np.float32))
+    m = MixedScaleAttention(embed_dim=64, num_heads=(2, 2))
+    os.environ["MSSVT_PALLAS"] = "off"
+    try:
+        p_einsum = m.init(jax.random.PRNGKey(0), q, k)
+        os.environ["MSSVT_PALLAS"] = "interpret"
+        p_fused = m.init(jax.random.PRNGKey(0), q, k)
+    finally:
+        os.environ["MSSVT_PALLAS"] = "off"
+    t1 = jax.tree_util.tree_map(lambda a: a.shape, p_einsum)
+    t2 = jax.tree_util.tree_map(lambda a: a.shape, p_fused)
+    assert t1 == t2
+    for a, b in zip(jax.tree_util.tree_leaves(p_einsum),
+                    jax.tree_util.tree_leaves(p_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
