@@ -30,7 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+import os
+
 from ...core.sparse import SparseVoxels
+from ...ops.pallas_ffn import fused_residual_ffn
 from ...ops.pallas_fill import PACK5_ZERO
 from ...ops.sampling import (
     farthest_point_sample,
@@ -47,7 +50,7 @@ from ...ops.window import build_query_tables, gather_window_voxels, window_parti
 def _unpack_planes(p: jnp.ndarray):
     """Packed 5-bit-biased offsets -> three int32 component planes."""
     return ((p >> 10) & 31) - 16, ((p >> 5) & 31) - 16, (p & 31) - 16
-from ..model_utils.attention import MixedScaleAttention
+from ..model_utils.attention import MixedScaleAttention, _use_fused_kernel
 from ..model_utils.layers import DropPath, PosProjection
 
 
@@ -298,12 +301,30 @@ class MsSVTBlock(nn.Module):
                 mode="drop", unique_indices=True,
             )
 
-        # --- residual + FFN (ref :338-343)
-        new = self.droppath(updated, deterministic) + shortcut
-        act = self.linear2(self.dropout1(
-            nn.relu(self.linear1(self.norm2(new))), deterministic=deterministic))
-        new = new + self.droppath(
-            self.dropout1(act, deterministic=deterministic), deterministic)
+        # --- residual + FFN (ref :338-343). Deterministic fast path: one
+        # row-tiled Pallas pass (XLA runs LN stats + two GEMM intermediates
+        # + adds as separate full-tensor sweeps); droppath/dropout are
+        # identity at eval so the fused form is exact.
+        if _use_fused_kernel(nq=128, deterministic=deterministic):
+            dt = self.dtype
+            self.norm2(jnp.zeros((1, self.in_channels), dt))
+            self.linear1(jnp.zeros((1, self.in_channels), dt))
+            self.linear2(jnp.zeros((1, self.ff_channels), dt))
+            pn = self.scope.get_variable("params", "norm2")
+            p1 = self.scope.get_variable("params", "linear1")
+            p2 = self.scope.get_variable("params", "linear2")
+            new = fused_residual_ffn(
+                updated + shortcut, pn["scale"], pn["bias"],
+                p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
+                interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
+            )
+        else:
+            new = self.droppath(updated, deterministic) + shortcut
+            act = self.linear2(self.dropout1(
+                nn.relu(self.linear1(self.norm2(new))),
+                deterministic=deterministic))
+            new = new + self.droppath(
+                self.dropout1(act, deterministic=deterministic), deterministic)
         if self.out_channels != self.in_channels:
             new = self.out_linear(new)
         new = new * sp.valid[:, None]  # keep padding rows exactly zero
