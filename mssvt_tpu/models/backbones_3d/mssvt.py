@@ -378,11 +378,26 @@ class MsSVTCompressBlock(nn.Module):
         k = g["win1"]
 
         k_fea = group_features(x, k["ind"])  # (NW, ns, C)
-        vox_xyz = sp.metric_centers()
-        k_coord = group_features(vox_xyz, k["ind"])  # (NW, ns, 3)
-        q_center = _window_metric_centers(
-            win_coords, sp.voxel_size, self.win1, sp.point_cloud_range
-        )  # (NW, 3)
+
+        # key metric coordinates on per-component planes from the packed
+        # gather offsets (== gathering sp.metric_centers() rows: empty slots
+        # are zero either way, and slot metric = center voxel + offset).
+        # A (NW, ns, 3)-trailing layout runs at 3/128 lane utilization.
+        wx, wy, wz = self.win1
+        vsx, vsy, vsz = (float(v_) for v_ in sp.voxel_size)
+        minx, miny, minz = (float(v_) for v_ in sp.point_cloud_range[:3])
+        ox, oy, oz = _unpack_planes(k["coordp"])
+        keep = (~k["mask"]).astype(jnp.float32)
+        ctr_x = (win_coords[:, 3] * wx + wx // 2)[:, None]
+        ctr_y = (win_coords[:, 2] * wy + wy // 2)[:, None]
+        ctr_z = (win_coords[:, 1] * wz + wz // 2)[:, None]
+        mx = (((ctr_x + ox).astype(jnp.float32) + 0.5) * vsx + minx) * keep
+        my = (((ctr_y + oy).astype(jnp.float32) + 0.5) * vsy + miny) * keep
+        mz = (((ctr_z + oz).astype(jnp.float32) + 0.5) * vsz + minz) * keep
+        # window metric center planes (≡ _window_metric_centers)
+        qcx = (win_coords[:, 3].astype(jnp.float32) + 0.5) * (vsx * wx) + minx
+        qcy = (win_coords[:, 2].astype(jnp.float32) + 0.5) * (vsy * wy) + miny
+        qcz = (win_coords[:, 1].astype(jnp.float32) + 0.5) * (vsz * wz) + minz
 
         # query = max-pool over the window's gathered features (zero pads
         # included — reference parity, ref :370-371)
@@ -390,9 +405,13 @@ class MsSVTCompressBlock(nn.Module):
 
         # position embedding on keys only; the reference does NOT zero-mask
         # relative coords here (ref :372-374)
-        k_rel = k_coord - q_center[:, None, :]
-        k_pos = self.pos_proj(jnp.concatenate(
-            [k_rel, jnp.broadcast_to(q_center[:, None, :], k_rel.shape)], axis=-1))
+        ns = ox.shape[1]
+        k_pos = self.pos_proj(jnp.stack([
+            mx - qcx[:, None], my - qcy[:, None], mz - qcz[:, None],
+            jnp.broadcast_to(qcx[:, None], (qcx.shape[0], ns)),
+            jnp.broadcast_to(qcy[:, None], (qcy.shape[0], ns)),
+            jnp.broadcast_to(qcz[:, None], (qcz.shape[0], ns)),
+        ], axis=-1))
         k_fea = k_fea + k_pos
 
         attn = self.ms_attn(
