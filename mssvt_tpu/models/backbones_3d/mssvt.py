@@ -68,6 +68,17 @@ def _window_metric_centers(win_coords, voxel_size, win_size, point_cloud_range):
     return (xyz + 0.5) * ws + mins
 
 
+def _writeback_inverse(upd_fea, inv, shortcut):
+    """Inverse write-back: each voxel row-gathers its updated feature from
+    its (window, slot) address; dropped/unassigned voxels keep the shortcut.
+    Module-level so the ablation harness can stub it."""
+    nw_b, n1b, c = upd_fea.shape
+    pos = jnp.clip(inv["win_row"] * n1b + inv["slot"], 0, nw_b * n1b - 1)
+    rows = jnp.take(upd_fea.reshape(-1, c), pos, axis=0)
+    return jnp.where(inv["valid"][:, None],
+                     rows.astype(shortcut.dtype), shortcut)
+
+
 def _fps_keys(ind, coord, key_num_sample):
     """FPS-downsample a gathered buffer to ``key_num_sample`` keys per window.
 
@@ -282,12 +293,7 @@ class MsSVTBlock(nn.Module):
         # scatter (each voxel appears at most once across the buffers).
         inv = g.get("inv_win1") if self.use_feature_interpolation else None
         if inv is not None:
-            nw_b, n1b, c = upd_fea.shape
-            pos = jnp.clip(inv["win_row"] * n1b + inv["slot"],
-                           0, nw_b * n1b - 1)
-            rows = jnp.take(upd_fea.reshape(-1, c), pos, axis=0)
-            updated = jnp.where(inv["valid"][:, None],
-                                rows.astype(shortcut.dtype), shortcut)
+            updated = _writeback_inverse(upd_fea, inv, shortcut)
         else:
             v = sp.max_voxels
             flat_ind = upd_ind.reshape(-1)

@@ -43,7 +43,9 @@ def _use_fused_kernel(nq: int, deterministic: bool) -> bool:
     if mode == "off":
         return False
     if mode == "interpret":
-        return True
+        # still deterministic-gated: the kernel carries no dropout, so a
+        # training call must not silently route through it
+        return deterministic
     return deterministic and nq >= 8 and jax.default_backend() == "tpu"
 
 
@@ -121,6 +123,9 @@ class MixedScaleAttention(nn.Module):
                 query, keys, (wq, bq, wk, bk, wv, bv, wp, bp), bias,
                 num_heads=tuple(self.num_heads), scale=scale,
                 interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
+                # thread the module dtype: fp32-configured models keep fp32
+                # matmuls in-kernel (bf16 only when the model itself is bf16)
+                compute_dtype=self.dtype,
             )
             if query_mask is not None:
                 out = out * (~query_mask)[..., None].astype(out.dtype)

@@ -84,8 +84,8 @@ def _static_mats(num_heads, embed_dim, nk_tot, wb):
 
 
 def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, p_ref, mv_ref,
-                 bs2_ref, o_ref, *, nq, nt, scale, out_dtype):
-    bf = jnp.bfloat16
+                 bs2_ref, o_ref, *, nq, nt, scale, out_dtype, compute_dtype):
+    bf = compute_dtype
     d = q_ref.shape[1]
     wq, wk, wv, wp = (w_ref[i] for i in range(4))  # (D, D) each
     bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))  # (1, D)
@@ -134,7 +134,9 @@ def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, p_ref, mv_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "scale", "window_block", "interpret"),
+    static_argnames=(
+        "num_heads", "scale", "window_block", "interpret", "compute_dtype"
+    ),
 )
 def fused_window_attention(
     query: jnp.ndarray,   # (NW, nq, D) RAW (pre-projection)
@@ -145,10 +147,15 @@ def fused_window_attention(
     scale: float,
     window_block: int = 4,
     interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Fully-fused window attention:
     ``out = softmax(q@Wq (kexp@Wk)^T * scale + bias) @ (v@Wv) @ Wp`` with the
-    block-diagonal head structure of MixedScaleAttention."""
+    block-diagonal head structure of MixedScaleAttention.
+
+    ``compute_dtype`` is the in-kernel matmul dtype; callers thread the
+    module dtype so an fp32-configured model keeps fp32 accuracy (softmax
+    statistics are always fp32)."""
     nw, nq, d = query.shape
     nk_tot = keys.shape[1]
     tot_heads, per_head, nk, _ = _head_layout(num_heads, d, nk_tot)
@@ -163,7 +170,7 @@ def fused_window_attention(
         key_bias = jnp.pad(key_bias, ((0, pad), (0, 0)))
     nwp = nw + pad
 
-    bf = jnp.bfloat16
+    bf = compute_dtype
     q2 = query.astype(bf).reshape(nwp * nq, d)
     k2 = keys.astype(bf).reshape(nwp * nk_tot, d)
     wq, bq, wk, bk, wv, bv, wp, bp = proj
@@ -187,6 +194,7 @@ def fused_window_attention(
 
     kernel = functools.partial(
         _attn_kernel, nq=nq, nt=nt, scale=float(scale), out_dtype=query.dtype,
+        compute_dtype=compute_dtype,
     )
     out = pl.pallas_call(
         kernel,

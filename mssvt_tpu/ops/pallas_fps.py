@@ -1,0 +1,94 @@
+"""Farthest-point sampling as a row-tiled Pallas TPU kernel.
+
+Replaces the ``lax.fori_loop`` XLA form of
+:func:`mssvt_tpu.ops.sampling.farthest_point_sample_planes` on TPU.
+Reference semantics: pointnet2_batch ``farthest_point_sampling_kernel``
+(ref: pcdet/ops/pointnet2/pointnet2_batch/src/sampling_gpu.cu:101-185) —
+first pick is index 0, min-dist caches start at 1e10, argmax ties resolve
+to the lowest index.
+
+Why a kernel: the XLA loop re-reads and re-writes the full (B, N) min-dist
+and coordinate planes from HBM on every one of the ``npoint-1`` sequential
+iterations (~7 GB of traffic at Waymo scale, ~9 ms/frame measured by
+ablation). Here each grid step loads a (ROWS, N) tile of the three
+coordinate planes into VMEM once and runs the whole sequential loop
+on-chip; HBM sees each plane exactly once in each direction.
+
+Kernel shape rules (see memory: mosaic-pallas-pitfalls): full-width 2D ops
+only — selection is a one-hot masked reduction, the argmax is a max +
+iota-min pair, and the output indices accumulate into a (ROWS, npoint)
+register tile via one-hot writes instead of dynamic lane stores.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fps_kernel(x_ref, y_ref, z_ref, o_ref, *, npoint):
+    x = x_ref[:].astype(jnp.float32)  # (R, N)
+    y = y_ref[:].astype(jnp.float32)
+    z = z_ref[:].astype(jnp.float32)
+    r, n = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (r, npoint), 1)
+
+    def body(i, carry):
+        min_dist, last, out = carry
+        sel = (col == last).astype(jnp.float32)  # (R, N) one-hot of last pick
+        lx = jnp.sum(x * sel, axis=1, keepdims=True)  # (R, 1)
+        ly = jnp.sum(y * sel, axis=1, keepdims=True)
+        lz = jnp.sum(z * sel, axis=1, keepdims=True)
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        min_dist = jnp.minimum(min_dist, d)
+        # argmax with lowest-index tie-break: max, then min index attaining it
+        m = jnp.max(min_dist, axis=1, keepdims=True)
+        nxt = jnp.min(jnp.where(min_dist == m, col, n), axis=1,
+                      keepdims=True).astype(jnp.int32)  # (R, 1)
+        out = jnp.where(ocol == i, nxt, out)
+        return min_dist, nxt, out
+
+    out0 = jnp.zeros((r, npoint), jnp.int32)  # slot 0 = index 0
+    init = (jnp.full((r, n), 1e10, jnp.float32),
+            jnp.zeros((r, 1), jnp.int32), out0)
+    _, _, out = jax.lax.fori_loop(1, npoint, body, init)
+    o_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npoint", "row_block", "interpret"))
+def farthest_point_sample_planes_pallas(
+    x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, npoint: int,
+    row_block: int = 256, interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, N) coordinate planes -> (B, npoint) int32 FPS indices."""
+    b, n = x.shape
+    pad = (-b) % row_block
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, pad), (0, 0)))
+        z = jnp.pad(z, ((0, pad), (0, 0)))
+    bp = b + pad
+    kernel = functools.partial(_fps_kernel, npoint=npoint)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // row_block,),
+        in_specs=[
+            pl.BlockSpec((row_block, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_block, npoint), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, npoint), jnp.int32),
+        interpret=interpret,
+    )(x.astype(jnp.float32), y.astype(jnp.float32), z.astype(jnp.float32))
+    return out[:b]

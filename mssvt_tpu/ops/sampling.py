@@ -20,6 +20,8 @@ natural layout for TPU matmuls.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -73,7 +75,19 @@ def farthest_point_sample_planes(x: jnp.ndarray, y: jnp.ndarray,
     arrays instead of (B, N, 3): every elementwise op in the sequential loop
     then runs at full lane width. A trailing length-3 axis puts 3 of 128
     lanes to work and measured ~5x slower at Waymo scale.
+
+    On TPU this routes to a row-tiled Pallas kernel that runs the whole
+    sequential loop in VMEM (the XLA loop pays ``npoint-1`` full HBM sweeps
+    of the planes — ~9 ms/frame at Waymo scale; see ops/pallas_fps.py).
     """
+    mode = os.environ.get("MSSVT_PALLAS", "auto")
+    if mode == "interpret" or (
+        mode not in ("off", "xla_fill") and jax.default_backend() == "tpu"
+    ):
+        from .pallas_fps import farthest_point_sample_planes_pallas
+
+        return farthest_point_sample_planes_pallas(
+            x, y, z, npoint, interpret=(mode == "interpret"))
     b, n = x.shape
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
@@ -124,7 +138,7 @@ def three_nn_planes(ux, uy, uz, kx, ky, kz):
     if k_eff < 3:
         pad = 3 - k_eff
         neg = jnp.concatenate(
-            [neg, jnp.full(neg.shape[:-1] + (pad,), -1e40, neg.dtype)], axis=-1
+            [neg, jnp.full(neg.shape[:-1] + (pad,), -1e38, neg.dtype)], axis=-1
         )
         idx = jnp.concatenate(
             [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1
@@ -295,10 +309,11 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, known_valid=None):
     idx = jnp.stack(picked_i, axis=-1)
     if k_eff < 3:
         # fewer than 3 candidates: pad like the CUDA kernel's untouched slots
-        # (index 0, distance 1e40 — interpolate weight ~0 after normalization)
+        # (index 0, huge distance — interpolate weight ~0 after normalization;
+        # 1e38 not the CUDA kernel's 1e40, which overflows the f32 cast)
         pad = 3 - k_eff
         neg = jnp.concatenate(
-            [neg, jnp.full(neg.shape[:-1] + (pad,), -1e40, neg.dtype)], axis=-1
+            [neg, jnp.full(neg.shape[:-1] + (pad,), -1e38, neg.dtype)], axis=-1
         )
         idx = jnp.concatenate(
             [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1

@@ -5,8 +5,6 @@ Runs the kernel through the Pallas interpreter on the CPU test platform
 shared parameters.
 """
 
-import os
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -69,7 +67,12 @@ def _rand_proj(rng, num_heads, d):
 
 
 @pytest.mark.parametrize("num_heads", [(2, 2), (1, 3)])
-def test_fused_kernel_matches_reference_core(num_heads):
+@pytest.mark.parametrize("compute_dtype,atol,rtol", [
+    (jnp.bfloat16, 0.5, 0.1),     # production TPU path (bf16 matmuls)
+    (jnp.float32, 2e-4, 2e-4),    # fp32 shadow: catches real kernel bugs
+])
+def test_fused_kernel_matches_reference_core(num_heads, compute_dtype,
+                                             atol, rtol):
     rng = np.random.default_rng(0)
     nw, nq, nk_tot, d = 12, 32, 64, 128
     query = rng.normal(size=(nw, nq, d)).astype(np.float32)
@@ -83,13 +86,13 @@ def test_fused_kernel_matches_reference_core(num_heads):
         jnp.asarray(query), jnp.asarray(keys),
         tuple(jnp.asarray(p) for p in proj), jnp.asarray(bias),
         num_heads=num_heads, scale=scale, interpret=True,
+        compute_dtype=compute_dtype,
     )).astype(np.float32)
     want = _ref_full(query, keys, proj, bias, num_heads, scale)
-    # bf16 inputs inside the kernel -> loose tolerance
-    np.testing.assert_allclose(got, want, atol=0.5, rtol=0.1)
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
 
 
-def test_module_fused_path_matches_einsum_path():
+def test_module_fused_path_matches_einsum_path(monkeypatch):
     rng = np.random.default_rng(1)
     nw, nq, nk_tot, d = 10, 16, 32, 64
     num_heads = (2, 2)
@@ -101,32 +104,27 @@ def test_module_fused_path_matches_einsum_path():
     m = MixedScaleAttention(embed_dim=d, num_heads=num_heads)
     params = m.init(jax.random.PRNGKey(0), q, k, qm, km)
 
-    os.environ["MSSVT_PALLAS"] = "off"
-    try:
-        want = np.asarray(m.apply(params, q, k, qm, km))
-        os.environ["MSSVT_PALLAS"] = "interpret"
-        got = np.asarray(m.apply(params, q, k, qm, km))
-    finally:
-        os.environ["MSSVT_PALLAS"] = "off"
-    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+    monkeypatch.setenv("MSSVT_PALLAS", "off")
+    want = np.asarray(m.apply(params, q, k, qm, km))
+    monkeypatch.setenv("MSSVT_PALLAS", "interpret")
+    got = np.asarray(m.apply(params, q, k, qm, km))
+    # fp32 module dtype -> fp32 in-kernel compute -> tight tolerance
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
     # padded queries stay zero
     assert np.all(got[np.asarray(qm)] == 0)
 
 
-def test_module_param_tree_identical_between_paths():
+def test_module_param_tree_identical_between_paths(monkeypatch):
     """Both paths must create the exact same parameter tree (checkpoints
     trained with either path load in the other)."""
     rng = np.random.default_rng(2)
     q = jnp.asarray(rng.normal(size=(4, 16, 64)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(4, 32, 64)).astype(np.float32))
     m = MixedScaleAttention(embed_dim=64, num_heads=(2, 2))
-    os.environ["MSSVT_PALLAS"] = "off"
-    try:
-        p_einsum = m.init(jax.random.PRNGKey(0), q, k)
-        os.environ["MSSVT_PALLAS"] = "interpret"
-        p_fused = m.init(jax.random.PRNGKey(0), q, k)
-    finally:
-        os.environ["MSSVT_PALLAS"] = "off"
+    monkeypatch.setenv("MSSVT_PALLAS", "off")
+    p_einsum = m.init(jax.random.PRNGKey(0), q, k)
+    monkeypatch.setenv("MSSVT_PALLAS", "interpret")
+    p_fused = m.init(jax.random.PRNGKey(0), q, k)
     t1 = jax.tree_util.tree_map(lambda a: a.shape, p_einsum)
     t2 = jax.tree_util.tree_map(lambda a: a.shape, p_fused)
     assert t1 == t2
