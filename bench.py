@@ -73,6 +73,86 @@ def make_waymo_scale_scene(max_voxels, grid, seed=0, batch=1):
     }, n
 
 
+def add_synth_gt(batch, batch_size, seed=0, max_gt=64):
+    """Synthetic GT boxes for the train-step benchmark (B, M, 8)."""
+    rng = np.random.default_rng(1000 + seed)
+    gt = np.zeros((batch_size, max_gt, 8), np.float32)
+    for b in range(batch_size):
+        n = rng.integers(20, max_gt)
+        gt[b, :n, 0] = rng.uniform(-70, 70, n)
+        gt[b, :n, 1] = rng.uniform(-70, 70, n)
+        gt[b, :n, 2] = rng.uniform(-1, 2, n)
+        gt[b, :n, 3] = rng.uniform(1.5, 6, n)
+        gt[b, :n, 4] = rng.uniform(1.0, 3, n)
+        gt[b, :n, 5] = rng.uniform(1.0, 3, n)
+        gt[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        gt[b, :n, 7] = rng.integers(1, 4, n)
+    batch["gt_boxes"] = gt
+    return batch
+
+
+def run_train(cfg, model, scenes, batch_size):
+    """Full optimizer step (fwd + bwd + adam_onecycle update) at Waymo scale.
+
+    The fused attention kernel runs under value_and_grad via its custom VJP;
+    DropPath/dropout are live (train=True). Matches the reference's primary
+    workload (ref: tools/train.py + train_utils.py:23-90 per-iter body).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mssvt_tpu.parallel.mesh import make_mesh, make_sharded_train_step, shard_batch_for_mesh
+    from mssvt_tpu.runtime.optimization import build_optimizer
+
+    mesh = make_mesh(1)
+    sharded = [shard_batch_for_mesh(s, mesh, batch_size) for s in scenes]
+    one_dev = jax.tree_util.tree_map(lambda x: x[0], sharded[0])
+
+    t0 = time.time()
+    variables = jax.jit(
+        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=True)
+    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), one_dev)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    print(f"# train init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    tx, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=1000,
+                            steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = make_sharded_train_step(model, tx, mesh)
+
+    t0 = time.time()
+    params, batch_stats, opt_state, loss, _ = step(
+        params, batch_stats, opt_state, sharded[0], jax.random.PRNGKey(2))
+    l0 = float(np.asarray(loss))
+    print(f"# train compile+first step: {time.time() - t0:.1f}s "
+          f"(loss={l0:.3f})", file=sys.stderr)
+    assert np.isfinite(l0), f"non-finite train loss {l0}"
+    for s in scenes[1:]:
+        params, batch_stats, opt_state, loss, _ = step(
+            params, batch_stats, opt_state, s, jax.random.PRNGKey(3))
+    float(np.asarray(loss))
+
+    n_iter = 12
+    t0 = time.time()
+    sink = 0.0
+    for i in range(n_iter):
+        params, batch_stats, opt_state, loss, _ = step(
+            params, batch_stats, opt_state, scenes[i % len(scenes)],
+            jax.random.PRNGKey(10 + i))
+        sink += float(np.asarray(loss))  # host readback forces completion
+    dt = (time.time() - t0) / n_iter
+    print(f"# train steady-state: {dt * 1000:.1f} ms/step at batch "
+          f"{batch_size} ({dt * 1000 / batch_size:.1f} ms/frame, "
+          f"sink={sink:.3f})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "train_step_ms_single_chip_batch%d" % batch_size,
+        "value": round(dt * 1000, 1),
+        "unit": "ms/step",
+        "vs_baseline": round((batch_size / dt) / PROVISIONAL_A100_FPS, 3),
+    }))
+
+
 def main():
     import jax
 
@@ -104,14 +184,24 @@ def main():
         batch_size=batch_size, max_voxels=max_voxels, max_points_per_voxel=5,
     )
 
+    train_mode = "--train" in sys.argv
+
     # several distinct scenes: guards against any result caching in the
     # device tunnel and against XLA folding repeated identical inputs
     scenes = []
     for seed in range(4):
         b, n_vox = make_waymo_scale_scene(
             max_voxels, grid, seed=seed, batch=batch_size)
+        if train_mode:
+            b = add_synth_gt(b, batch_size, seed=seed)
         scenes.append({k: jax.device_put(v) for k, v in b.items()})
     batch = scenes[0]
+
+    if train_mode:
+        print(f"# train scene: {n_vox} voxels, batch {batch_size}",
+              file=sys.stderr)
+        run_train(cfg, model, scenes, batch_size)
+        return
 
     print(f"# scene: {n_vox} voxels total, batch {batch_size}, grid {grid}",
           file=sys.stderr)

@@ -88,6 +88,80 @@ def boxes_camera_to_lidar(objects, calib):
     return boxes, names
 
 
+def boxes_lidar_to_camera(boxes_lidar, calib):
+    """(N, 7) lidar boxes → (N, 7) camera-frame [x, y, z, l, h, w, ry]
+    (ref: pcdet/utils/box_utils.py ``boxes3d_lidar_to_kitti_camera``)."""
+    boxes_lidar = np.asarray(boxes_lidar, np.float64)
+    if len(boxes_lidar) == 0:
+        return np.zeros((0, 7), np.float64)
+    xyz = boxes_lidar[:, :3].copy()
+    l, w, h = boxes_lidar[:, 3], boxes_lidar[:, 4], boxes_lidar[:, 5]
+    xyz[:, 2] -= h / 2  # geometric center → bottom center
+    xyz_cam = calib.lidar_to_rect(xyz)
+    r = -boxes_lidar[:, 6] - np.pi / 2
+    return np.concatenate(
+        [xyz_cam, l[:, None], h[:, None], w[:, None], r[:, None]], axis=1)
+
+
+def boxes_camera_to_imageboxes(boxes_cam, calib, image_shape=None):
+    """Camera boxes → image-plane [u1, v1, u2, v2] via the 8 corners
+    (ref: box_utils.py ``boxes3d_kitti_camera_to_imageboxes``)."""
+    boxes_cam = np.asarray(boxes_cam, np.float64)
+    n = len(boxes_cam)
+    if n == 0:
+        return np.zeros((0, 4), np.float32)
+    l, h, w = boxes_cam[:, 3], boxes_cam[:, 4], boxes_cam[:, 5]
+    ry = boxes_cam[:, 6]
+    xc = np.array([1, 1, -1, -1, 1, 1, -1, -1], np.float64)[None] * (l[:, None] / 2)
+    yc = np.array([0, 0, 0, 0, -1, -1, -1, -1], np.float64)[None] * h[:, None]
+    zc = np.array([1, -1, -1, 1, 1, -1, -1, 1], np.float64)[None] * (w[:, None] / 2)
+    cosr, sinr = np.cos(ry), np.sin(ry)
+    # rotation about the camera y axis
+    xr = cosr[:, None] * xc + sinr[:, None] * zc
+    zr = -sinr[:, None] * xc + cosr[:, None] * zc
+    corners = np.stack([
+        xr + boxes_cam[:, 0:1], yc + boxes_cam[:, 1:2], zr + boxes_cam[:, 2:3],
+    ], axis=-1)  # (N, 8, 3)
+    pts2d, _ = calib.rect_to_img(corners.reshape(-1, 3))
+    pts2d = pts2d.reshape(n, 8, 2)
+    bbox = np.concatenate(
+        [pts2d.min(axis=1), pts2d.max(axis=1)], axis=1).astype(np.float32)
+    if image_shape is not None:
+        bbox[:, [0, 2]] = np.clip(bbox[:, [0, 2]], 0, image_shape[1] - 1)
+        bbox[:, [1, 3]] = np.clip(bbox[:, [1, 3]], 0, image_shape[0] - 1)
+    return bbox
+
+
+def generate_kitti_prediction_dict(boxes_lidar, scores, labels, class_names,
+                                   calib=None, image_shape=None):
+    """Single-frame prediction → KITTI anno dict with camera fields
+    (ref: kitti_dataset.py ``generate_prediction_dicts``): name, score,
+    boxes_lidar always; alpha / bbox / location / dimensions / rotation_y
+    when a calibration is available (feeds bbox-AP and AOS)."""
+    boxes_lidar = np.asarray(boxes_lidar)[:, :7]
+    names = np.asarray(class_names)[
+        np.clip(np.asarray(labels, np.int64) - 1, 0, len(class_names) - 1)]
+    out = {
+        "name": names,
+        "score": np.asarray(scores, np.float32),
+        "scores": np.asarray(scores, np.float32),
+        "boxes": boxes_lidar.astype(np.float32),
+        "boxes_lidar": boxes_lidar.astype(np.float32),
+    }
+    if calib is not None and len(boxes_lidar):
+        cam = boxes_lidar_to_camera(boxes_lidar, calib)
+        out["bbox"] = boxes_camera_to_imageboxes(cam, calib, image_shape)
+        out["alpha"] = (-np.arctan2(-boxes_lidar[:, 1], boxes_lidar[:, 0])
+                        + cam[:, 6]).astype(np.float32)
+        out["location"] = cam[:, :3].astype(np.float32)
+        out["dimensions"] = cam[:, 3:6].astype(np.float32)
+        out["rotation_y"] = cam[:, 6].astype(np.float32)
+    elif len(boxes_lidar) == 0:
+        out["bbox"] = np.zeros((0, 4), np.float32)
+        out["alpha"] = np.zeros((0,), np.float32)
+    return out
+
+
 class KittiDataset(DatasetTemplate):
     def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
                  logger=None):

@@ -241,24 +241,20 @@ class MsSVTBlock(nn.Module):
                     (m[1] - wcy[:, None]) * keep,
                     (m[2] - wcz[:, None]) * keep)
 
-        def pos_input(r, n):
-            b1 = jnp.broadcast_to(wcx[:, None], r[0].shape)
-            b2 = jnp.broadcast_to(wcy[:, None], r[0].shape)
-            b3 = jnp.broadcast_to(wcz[:, None], r[0].shape)
-            return jnp.stack([r[0], r[1], r[2], b1, b2, b3], axis=-1)
-
         q_rel = rel_planes(q_m, q["mask"])
         k_rel1 = rel_planes(k_m1, k_mask1)
         k_rel2 = rel_planes(k_m2, k_mask2)
         k_rel = tuple(jnp.concatenate([a, b], axis=1)
                       for a, b in zip(k_rel1, k_rel2))
 
-        # --- position embeddings (ref :278-282). Folding this MLP into the
-        # attention kernel was tried and measured ~4ms SLOWER (lane-8 pos
-        # inputs load poorly; the plane stack dominates and remains either
-        # way) — kept in XLA.
-        q_pos = self.pos_proj(pos_input(q_rel, q_rel[0].shape[1]))
-        k_pos = self.pos_proj(pos_input(k_rel, k_rel[0].shape[1]))
+        # --- position embeddings (ref :278-282), via the plane decomposition
+        # (no (NW, cap, 6) stack, no K=6 matmul — that form measured
+        # ~21 ms/frame by ablation). Folding the MLP into the attention
+        # kernel instead was tried and measured ~4ms SLOWER.
+        q_pos = self.pos_proj.from_planes(
+            q_rel[0], q_rel[1], q_rel[2], wcx, wcy, wcz)
+        k_pos = self.pos_proj.from_planes(
+            k_rel[0], k_rel[1], k_rel[2], wcx, wcy, wcz)
         q_fea = q_fea + q_pos
         k_fea = jnp.concatenate([k_fea1, k_fea2], axis=1) + k_pos
         k_mask = jnp.concatenate([k_mask1, k_mask2], axis=1)  # (NW, 2*nk)

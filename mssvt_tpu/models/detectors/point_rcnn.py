@@ -14,7 +14,8 @@ from flax import linen as nn
 
 from ...ops.pointnet2 import roipoint_pool3d
 from ...utils.box_coder import ResidualCoder
-from ..backbones_3d.pointnet2_backbone import PointNet2MSG, SharedMLP
+from ..backbones_3d.pointnet2_backbone import SharedMLP
+from ..builders import BuildCtx, build_backbone_3d
 from ..dense_heads.point_head import PointHeadBox, assign_point_targets
 from ..roi_heads.roi_head_template import (
     assign_proposal_targets,
@@ -91,9 +92,15 @@ class PointRCNN(nn.Module):
 
     def setup(self):
         cfg = self.model_cfg
-        self.backbone_3d = PointNet2MSG(
-            model_cfg=cfg["BACKBONE_3D"], input_channels=0, dtype=self.dtype,
+        ctx = BuildCtx(
+            num_class=self.num_class, class_names=tuple(self.class_names),
+            grid_size=tuple(self.grid_size),
+            voxel_size=tuple(self.voxel_size),
+            point_cloud_range=tuple(self.point_cloud_range),
+            batch_size=self.batch_size, max_voxels=self.max_voxels,
+            max_points_per_voxel=self.max_points_per_voxel, dtype=self.dtype,
         )
+        self.backbone_3d = build_backbone_3d(cfg["BACKBONE_3D"], ctx)
         fp_out = int(cfg["BACKBONE_3D"]["FP_MLPS"][0][-1])
         self.point_head = PointHeadBox(
             model_cfg=cfg["POINT_HEAD"], input_channels=fp_out,

@@ -16,10 +16,14 @@ from flax import linen as nn
 
 from ...core.sparse import SparseVoxels
 from ...utils.box_coder import ResidualCoder
-from ..backbones_2d.base_bev_backbone import BaseBEVBackbone
-from ..backbones_3d.spconv_backbone import VoxelBackBone8x
-from ..backbones_3d.vfe import MeanVFE
-from ..dense_heads.anchor_head import AnchorHeadSingle
+from ..builders import (
+    BuildCtx,
+    build_backbone_2d,
+    build_backbone_3d,
+    build_dense_head,
+    build_vfe,
+)
+from .generic_post import apply_vfe
 from ..roi_heads.roi_head_template import (
     assign_proposal_targets,
     proposal_layer,
@@ -43,40 +47,27 @@ class VoxelRCNN(nn.Module):
 
     def setup(self):
         cfg = self.model_cfg
-        self.vfe = MeanVFE(num_point_features=0)
-        b3d = cfg["BACKBONE_3D"]
-        self.backbone_3d = VoxelBackBone8x(
-            input_capacity=self.max_voxels * self.batch_size,
-            num_filters=tuple(b3d.get("NUM_FILTERS", [16, 32, 64, 64])),
-            out_channels=int(b3d.get("OUT_CHANNELS", 128)),
-            residual=b3d.get("NAME") == "VoxelResBackBone8x",
-            return_stages=True,
-            dtype=self.dtype,
-        )
-        b2d = cfg["BACKBONE_2D"]
-        self.backbone_2d = BaseBEVBackbone(
-            layer_nums=tuple(b2d["LAYER_NUMS"]),
-            layer_strides=tuple(b2d["LAYER_STRIDES"]),
-            num_filters=tuple(b2d["NUM_FILTERS"]),
-            upsample_strides=tuple(b2d.get("UPSAMPLE_STRIDES", [])),
-            num_upsample_filters=tuple(b2d.get("NUM_UPSAMPLE_FILTERS", [])),
-            dtype=self.dtype,
-        )
-        self.dense_head = AnchorHeadSingle(
-            model_cfg=cfg["DENSE_HEAD"],
-            input_channels=self.backbone_2d.num_bev_features,
-            num_class=self.num_class,
-            class_names=tuple(self.class_names),
+        ctx = BuildCtx(
+            num_class=self.num_class, class_names=tuple(self.class_names),
             grid_size=tuple(self.grid_size),
+            voxel_size=tuple(self.voxel_size),
             point_cloud_range=tuple(self.point_cloud_range),
-            dtype=self.dtype,
+            batch_size=self.batch_size, max_voxels=self.max_voxels,
+            max_points_per_voxel=self.max_points_per_voxel, dtype=self.dtype,
         )
+        self.vfe = build_vfe(cfg["VFE"], ctx)
+        self.backbone_3d = build_backbone_3d(
+            {**dict(cfg["BACKBONE_3D"]), "RETURN_STAGES": True}, ctx)
+        self.backbone_2d = build_backbone_2d(cfg["BACKBONE_2D"], ctx)
+        self.dense_head = build_dense_head(
+            cfg["DENSE_HEAD"], ctx,
+            input_channels=self.backbone_2d.num_bev_features)
         self.roi_head = VoxelRCNNHead(model_cfg=cfg["ROI_HEAD"], dtype=self.dtype)
         self.roi_cfg = cfg["ROI_HEAD"]
         self.coder = ResidualCoder()
 
     def __call__(self, batch, train: bool = False):
-        voxel_features = self.vfe(batch["voxels"], batch["voxel_num_points"])
+        voxel_features = apply_vfe(self.vfe, batch, train=train)
         sp = SparseVoxels.create(
             features=voxel_features, coords=batch["voxel_coords"],
             valid=batch["voxel_valid"], batch_size=self.batch_size,

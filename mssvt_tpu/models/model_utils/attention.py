@@ -31,22 +31,27 @@ from ...ops.pallas_attention import fused_window_attention
 KEY_PAD_NEG = -100.0
 
 
-def _use_fused_kernel(nq: int, deterministic: bool) -> bool:
-    """Route to the Pallas kernel for inference-shaped calls on TPU.
+def _use_fused_kernel(nq: int, deterministic: bool,
+                      dropout: Optional[float] = None) -> bool:
+    """Route to the Pallas kernel on TPU.
 
-    The einsum path remains for training (dropout + autodiff; the kernel has
-    no custom VJP yet), for tiny query counts (compress blocks have nq=1 —
-    below the TPU sublane tile), and off-TPU. Tests force the kernel through
-    the interpreter with MSSVT_PALLAS=interpret.
+    The attention kernel has a custom VJP (Pallas backward with in-VMEM
+    recompute, ops/pallas_attention.py), so training routes through it too —
+    but only when ``dropout == 0.0``: the kernel carries no dropout, and with
+    rate 0 the attn/proj Dropout layers are exact identities. Callers that
+    fuse chains containing always-active stochastic layers (the FFN path has
+    DropPath) pass ``dropout=None``, which keeps them deterministic-only.
+    The einsum path also remains for tiny query counts (compress blocks have
+    nq=1 — below the TPU sublane tile) and off-TPU. Tests force the kernel
+    through the interpreter with MSSVT_PALLAS=interpret.
     """
+    ok = deterministic or (dropout is not None and dropout == 0.0)
     mode = os.environ.get("MSSVT_PALLAS", "auto")
     if mode == "off":
         return False
     if mode == "interpret":
-        # still deterministic-gated: the kernel carries no dropout, so a
-        # training call must not silently route through it
-        return deterministic
-    return deterministic and nq >= 8 and jax.default_backend() == "tpu"
+        return ok
+    return ok and nq >= 8 and jax.default_backend() == "tpu"
 
 
 class MixedScaleAttention(nn.Module):
@@ -74,7 +79,7 @@ class MixedScaleAttention(nn.Module):
         nk = tot_nk // groups
         scale = per_head ** -0.5
 
-        if _use_fused_kernel(nq, deterministic):
+        if _use_fused_kernel(nq, deterministic, dropout=self.dropout):
             # The per-group projections fold into single BLOCK-DIAGONAL
             # weight matrices applied to the UNSLICED tensors: the per-group
             # channel slices + pads + concats of the naive formulation

@@ -86,9 +86,40 @@ class PosProjection(nn.Module):
     deep: bool = False  # True for single-scale (compress) blocks
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (..., 6)
-        x = nn.relu(nn.Dense(self.channels, dtype=self.dtype, name="proj0")(x))
+    def setup(self):
+        self.proj0 = nn.Dense(self.channels, dtype=self.dtype)
         if self.deep:
-            x = nn.relu(nn.Dense(self.channels, dtype=self.dtype, name="proj1")(x))
+            self.proj1 = nn.Dense(self.channels, dtype=self.dtype)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (..., 6)
+        x = nn.relu(self.proj0(x))
+        if self.deep:
+            x = nn.relu(self.proj1(x))
         return x
+
+    def from_planes(self, rx, ry, rz, cx, cy, cz):
+        """Shallow-path embedding from (NW, cap) relative-coordinate planes
+        plus per-window center scalars (NW,) — no 6-channel stack.
+
+        Mathematically identical to ``__call__(stack([rx,ry,rz,bcast(cx..)]))``
+        but avoids materializing the (NW, cap, 6) input (a 6/128-lane array)
+        and the K=6 MXU-hostile matmul: the window-center half of the Dense
+        collapses to a per-window (NW, C) base computed from scalars, and the
+        relative half becomes three broadcast multiply-adds that XLA fuses
+        into the single (NW, cap, C) output sweep. Measured ~21 ms/frame in
+        the stack+GEMM form (ablation 'posz').
+        """
+        assert not self.deep, "from_planes is the shallow (two-scale) path"
+        zed = jnp.zeros((1, 6), self.dtype)
+        self.proj0(zed)  # materialize params
+        p = self.get_variable("params", "proj0")
+        w = jnp.asarray(p["kernel"], self.dtype)   # (6, C)
+        b = jnp.asarray(p["bias"], self.dtype)     # (C,)
+        # per-window base: center coords ride the tiny (NW, 3) @ (3, C) GEMM
+        ctr = jnp.stack([cx, cy, cz], axis=-1).astype(self.dtype)  # (NW, 3)
+        base = ctr @ w[3:] + b  # (NW, C)
+        out = (rx[..., None].astype(self.dtype) * w[0]
+               + ry[..., None].astype(self.dtype) * w[1]
+               + rz[..., None].astype(self.dtype) * w[2]
+               + base[:, None, :])
+        return nn.relu(out)

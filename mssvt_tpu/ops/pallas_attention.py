@@ -19,21 +19,18 @@ per iteration):
   slabs (pure reshapes outside the kernel); q/k/v/out projections are
   BLOCK-DIAGONAL (D, D) weight matrices (assembled from the per-group Dense
   params) applied in VMEM — keys are read from HBM once for both K and V.
-- The per-head block-diagonal K/V expansion is a dot against a static 0/1
-  replication matrix P, masked by a static channel mask:
-  ``Kexp = (P @ K) * M`` — rows of Kexp are [win0: head0 keys | head1 keys
-  | ...][win1: ...], zeroed outside each head's channel slice (this also
-  erases the off-group garbage the block-diagonal K/V projections produce).
-- Scores ``S = Q @ Kexp^T`` cover all window pairs; a computed iota mask
-  kills cross-window entries (-1e9).
-- Blockwise softmax without per-block slicing: subtract the ROW max (softmax
-  is shift-invariant per block), exponentiate, and obtain per-(window, head)
-  denominators with a thin block-sum matmul ``(e @ BS2) @ BS2^T``.
-- ``O = (A @ Vexp) @ Wp + bp`` lands each head's output back in its channel
-  slice (Vexp rows are channel-masked, Wp is block-diagonal).
+- Per head t (static python unroll): score its channel slice of Q against
+  the same slice of K over ALL supertile keys, ``S_t = Q[:, sl] K[:, sl]^T``
+  — an iota mask confines each row to its own window's group-g(t) key
+  stripe (-1e9 elsewhere), so softmax is plain ROW-WISE (each row has
+  exactly one valid stripe). ``O_t = A_t V[:, sl]``; per-head outputs
+  concatenate along lanes in head order, which IS the output channel
+  layout. Then ``out = O Wp + bp``.
 
-~16x redundant MACs at WB=4, but every dot is lane-aligned and raw
-queries/keys cross HBM exactly once in each direction.
+An earlier formulation expanded K/V per head through a static replication
+matrix (``Kexp = (P K) * M``) with block-sum-matmul softmax; the expansion
+dots were >50% of kernel MACs — the per-head slicing removes them and the
+BS2 denominators entirely (same results, kernel-measured ~2x fewer MACs).
 
 Head layout contract (matches MixedScaleAttention): channels are
 [group0 head0 | group0 head1 | group1 head0 | ...] with a uniform per-head
@@ -65,28 +62,48 @@ def _head_layout(num_heads: Sequence[int], embed_dim: int, nk_tot: int):
     return tot_heads, per_head, nk, tuple(key_block)
 
 
-def _static_mats(num_heads, embed_dim, nk_tot, wb):
-    """P (WB*nt, WB*nkt), Mv (WB*nt, D), BS2 (WB*nt, WB*H) as numpy."""
-    tot_heads, per_head, nk, key_block = _head_layout(
-        num_heads, embed_dim, nk_tot)
-    nt = tot_heads * nk
-    p = np.zeros((wb * nt, wb * nk_tot), np.float32)
-    mv = np.zeros((wb * nt, embed_dim), np.float32)
-    bs2 = np.zeros((wb * nt, wb * tot_heads), np.float32)
-    for w in range(wb):
-        for t in range(tot_heads):
-            for j in range(nk):
-                r = w * nt + t * nk + j
-                p[r, w * nk_tot + key_block[t] * nk + j] = 1.0
-                mv[r, t * per_head:(t + 1) * per_head] = 1.0
-                bs2[r, w * tot_heads + t] = 1.0
-    return p, mv, bs2
+def _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot, scale, bf):
+    """Shared fwd core: per-head channel-sliced attention.
+
+    Replaces the earlier P-matrix key replication (Kexp/Vexp dots were >50%
+    of kernel MACs and the block-sum softmax needed two more): head t reads
+    its static channel slice of q/k/v, scores only against its group's key
+    stripe (iota mask), softmax is plain row-wise (each row has exactly one
+    valid stripe), and per-head outputs concatenate back along lanes in head
+    order — which IS the output channel layout.
+
+    Returns (o (M, D) f32, per-head list of (a, mask) for reuse by bwd).
+    """
+    tot_heads = sum(num_heads)
+    ph = q.shape[1] // tot_heads
+    nk = nk_tot // len(num_heads)
+    key_block = []
+    for g, h in enumerate(num_heads):
+        key_block += [g] * h
+    m, n = q.shape[0] // 1, k.shape[0]
+    rw = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0) // nq
+    ci = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    cw = ci // nk_tot
+    cg = (ci % nk_tot) // nk
+    outs, cache = [], []
+    for t, g in enumerate(key_block):
+        sl = slice(t * ph, (t + 1) * ph)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (M, N)
+        valid = (rw == cw) & (cg == g)
+        s = jnp.where(valid, s * scale + bias_row, -1e9)
+        e = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+        a = e / (jnp.sum(e, axis=1, keepdims=True) + 1e-30)
+        outs.append(jax.lax.dot(a.astype(bf), v[:, sl],
+                                preferred_element_type=jnp.float32))
+        cache.append((a, valid))
+    return jnp.concatenate(outs, axis=1), cache
 
 
-def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, p_ref, mv_ref,
-                 bs2_ref, o_ref, *, nq, nt, scale, out_dtype, compute_dtype):
+def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, o_ref, *,
+                 num_heads, nq, nk_tot, scale, out_dtype, compute_dtype):
     bf = compute_dtype
-    d = q_ref.shape[1]
     wq, wk, wv, wp = (w_ref[i] for i in range(4))  # (D, D) each
     bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))  # (1, D)
 
@@ -98,36 +115,9 @@ def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, p_ref, mv_ref,
     v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
          + bv).astype(bf)
 
-    kexp = (jax.lax.dot(p_ref[:], k,
-                        preferred_element_type=jnp.float32).astype(bf)
-            * mv_ref[:])  # (WB*nt, D)
-    vexp = (jax.lax.dot(p_ref[:], v,
-                        preferred_element_type=jnp.float32).astype(bf)
-            * mv_ref[:])
-
-    s = jax.lax.dot_general(
-        q, kexp, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (WB*nq, WB*nt)
-    s = s * scale + bias_ref[0, 0:1].astype(jnp.float32)  # bias (1, WB*nt)
-
-    m, n = s.shape
-    rw = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0) // nq
-    cw = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1) // nt
-    s = jnp.where(rw == cw, s, -1e9)
-
-    # blockwise softmax: per-block shift-invariance lets one ROW max serve
-    # all of the row's head blocks; denominators via thin block-sum matmuls
-    e = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
-    d1 = jax.lax.dot(e.astype(bf), bs2_ref[:],
-                     preferred_element_type=jnp.float32)  # (M, WB*H)
-    denom = jax.lax.dot_general(
-        d1.astype(bf), bs2_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (M, WB*nt)
-    a = e / (denom + 1e-30)
-
-    o = jax.lax.dot(a.astype(bf), vexp, preferred_element_type=jnp.float32)
+    bias_row = bias_ref[0, 0:1].astype(jnp.float32)  # (1, WB*nk_tot)
+    o, _ = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
+                          float(scale), bf)
     o = jax.lax.dot(o.astype(bf), wp, preferred_element_type=jnp.float32) + bp
     o_ref[:] = o.astype(out_dtype)
 
@@ -155,14 +145,57 @@ def fused_window_attention(
 
     ``compute_dtype`` is the in-kernel matmul dtype; callers thread the
     module dtype so an fp32-configured model keeps fp32 accuracy (softmax
-    statistics are always fp32)."""
+    statistics are always fp32).
+
+    Differentiable: a custom VJP recomputes the attention in VMEM in a
+    mirrored Pallas backward kernel (see ``_attn_bwd_kernel``), so training
+    runs the same fused fast path as inference — the reference likewise
+    trains through its CUDA kernels (ref: ms_sparse_attention_gpu.cu
+    backward kernels, group_features_gpu.cu:46-106). ``key_bias`` gets a
+    zero cotangent (it is a mask, produced from boolean inputs)."""
+    return _fused_attention(query, keys, tuple(proj), key_bias,
+                            tuple(num_heads), float(scale),
+                            int(window_block), bool(interpret),
+                            compute_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_attention(query, keys, proj, key_bias, num_heads, scale,
+                     window_block, interpret, compute_dtype):
+    return _fused_attention_fwd_impl(
+        query, keys, proj, key_bias, num_heads, scale, window_block,
+        interpret, compute_dtype)
+
+
+def _fused_attention_fwd(query, keys, proj, key_bias, num_heads, scale,
+                         window_block, interpret, compute_dtype):
+    out = _fused_attention_fwd_impl(
+        query, keys, proj, key_bias, num_heads, scale, window_block,
+        interpret, compute_dtype)
+    return out, (query, keys, proj, key_bias)
+
+
+def _fused_attention_bwd(num_heads, scale, window_block, interpret,
+                         compute_dtype, res, g):
+    query, keys, proj, key_bias = res
+    dq, dk, dproj = _fused_attention_bwd_impl(
+        query, keys, proj, key_bias, g, num_heads, scale, window_block,
+        interpret, compute_dtype)
+    return dq, dk, dproj, jnp.zeros_like(key_bias)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype):
+    """Shared fwd/bwd preprocessing: pad to the supertile, flatten to 2D
+    slabs, expand bias to per-head columns, stack projection weights."""
     nw, nq, d = query.shape
     nk_tot = keys.shape[1]
     tot_heads, per_head, nk, _ = _head_layout(num_heads, d, nk_tot)
     nt = tot_heads * nk
     assert per_head * tot_heads == d and nk * len(num_heads) == nk_tot
 
-    wb = window_block
     pad = (-nw) % wb
     if pad:
         query = jnp.pad(query, ((0, pad), (0, 0), (0, 0)))
@@ -178,49 +211,206 @@ def fused_window_attention(
     bvec = jnp.stack([bq, bk, bv, bp]).astype(bf)   # (4, D)
     bvec = jnp.pad(bvec, ((0, 4), (0, 0)))          # (8, D) sublane tile
 
-    # bias expanded to per-head columns [head0 keys | head1 keys | ...]
-    key_block = _head_layout(num_heads, d, nk_tot)[3]
-    bias_exp = jnp.concatenate(
-        [key_bias[:, key_block[t] * nk:(key_block[t] + 1) * nk]
-         for t in range(tot_heads)], axis=1)  # (nwp, nt)
-    # (G, 8, wb*nt) with the real bias in sublane row 0: a (1, 1, N) block
-    # spec is legal but made Mosaic compile time explode with the grid size
-    # (~6.5 min at 6000 steps); an (8, N)-tiled trailing block compiles in
-    # seconds. Rows 1..7 are never read.
-    bias2 = jnp.zeros((nwp // wb, 8, wb * nt), jnp.float32).at[:, 0, :].set(
-        bias_exp.astype(jnp.float32).reshape(nwp // wb, wb * nt))
+    # (G, 8, wb*nk_tot) with the real per-key bias in sublane row 0: a
+    # (1, 1, N) block spec is legal but made Mosaic compile time explode
+    # with the grid size (~6.5 min at 6000 steps); an (8, N)-tiled trailing
+    # block compiles in seconds. Rows 1..7 are never read.
+    bias2 = jnp.zeros((nwp // wb, 8, wb * nk_tot), jnp.float32).at[
+        :, 0, :].set(
+        key_bias.astype(jnp.float32).reshape(nwp // wb, wb * nk_tot))
 
-    p_np, mv_np, bs2_np = _static_mats(num_heads, d, nk_tot, wb)
+    dims = dict(nw=nw, nwp=nwp, nq=nq, d=d, nk_tot=nk_tot, nt=nt,
+                tot_heads=tot_heads)
+    return q2, k2, bias2, wmats, bvec, dims
+
+
+def _common_specs(wb, nq, nk_tot, d):
+    return [
+        pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb * nk_tot, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, wb * nk_tot), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, d), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _fused_attention_fwd_impl(query, keys, proj, key_bias, num_heads, scale,
+                              window_block, interpret, compute_dtype):
+    wb = window_block
+    q2, k2, bias2, wmats, bvec, dm = _prep_inputs(
+        query, keys, key_bias, proj, num_heads, wb, compute_dtype)
+    nwp, nq, d = dm["nwp"], dm["nq"], dm["d"]
 
     kernel = functools.partial(
-        _attn_kernel, nq=nq, nt=nt, scale=float(scale), out_dtype=query.dtype,
-        compute_dtype=compute_dtype,
+        _attn_kernel, num_heads=tuple(num_heads), nq=nq,
+        nk_tot=dm["nk_tot"], scale=float(scale),
+        out_dtype=query.dtype, compute_dtype=compute_dtype,
     )
     out = pl.pallas_call(
         kernel,
         grid=(nwp // wb,),
-        in_specs=[
+        in_specs=_common_specs(wb, nq, dm["nk_tot"], d),
+        out_specs=pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nwp * nq, d), query.dtype),
+        interpret=interpret,
+    )(q2, k2, bias2, wmats, bvec)
+    return out.reshape(nwp, nq, d)[:dm["nw"]]
+
+
+def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, g_ref,
+                     dq_ref, dk_ref, dw_ref, db_ref, *,
+                     num_heads, nq, nk_tot, scale, compute_dtype):
+    """Mirror of ``_attn_kernel``: recompute the attention in VMEM, then run
+    the chain rule backwards (per head, channel-sliced like the forward).
+    Weight/bias grads accumulate across the sequential TPU grid into a
+    single (4, D, D)/(8, D) output block."""
+    bf = compute_dtype
+    wq, wk, wv, wp = (w_ref[i] for i in range(4))
+    bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))
+
+    qraw = q_ref[:]
+    kraw = k_ref[:]
+    q = (jax.lax.dot(qraw, wq, preferred_element_type=jnp.float32)
+         + bq).astype(bf)
+    k = (jax.lax.dot(kraw, wk, preferred_element_type=jnp.float32)
+         + bk).astype(bf)
+    v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
+         + bv).astype(bf)
+    bias_row = bias_ref[0, 0:1].astype(jnp.float32)
+    o1, cache = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
+                               float(scale), bf)
+
+    g = g_ref[:].astype(bf)  # (M, D)
+    # output projection
+    do1 = jax.lax.dot_general(  # g @ wp^T
+        g, wp, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(bf)
+    dwp = jax.lax.dot_general(  # o1^T @ g
+        o1.astype(bf), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbp = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    # per-head attention backward on channel slices
+    tot_heads = sum(num_heads)
+    ph = q.shape[1] // tot_heads
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for t, (a, _valid) in enumerate(cache):
+        sl = slice(t * ph, (t + 1) * ph)
+        do_t = do1[:, sl]  # (M, ph)
+        da = jax.lax.dot_general(  # do_t @ v_sl^T
+            do_t, v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (M, N)
+        dv_parts.append(jax.lax.dot_general(  # a^T @ do_t
+            a.astype(bf), do_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))  # (N, ph)
+        rs = jnp.sum(da * a, axis=1, keepdims=True)  # row-wise softmax bwd
+        ds = (a * (da - rs) * scale).astype(bf)  # (M, N); 0 off-stripe
+        dq_parts.append(jax.lax.dot(
+            ds, k[:, sl], preferred_element_type=jnp.float32))  # (M, ph)
+        dk_parts.append(jax.lax.dot_general(  # ds^T @ q_sl
+            ds, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))  # (N, ph)
+    dq_p = jnp.concatenate(dq_parts, axis=1)  # (M, D)
+    dk_p = jnp.concatenate(dk_parts, axis=1)  # (N, D)
+    dv_p = jnp.concatenate(dv_parts, axis=1)  # (N, D)
+    # projections
+    dq_pb = dq_p.astype(bf)
+    dk_pb = dk_p.astype(bf)
+    dv_pb = dv_p.astype(bf)
+    dq_raw = jax.lax.dot_general(  # dq' @ wq^T
+        dq_pb, wq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_raw = (jax.lax.dot_general(
+        dk_pb, wk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            dv_pb, wv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dwq = jax.lax.dot_general(  # qraw^T @ dq'
+        qraw, dq_pb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwk = jax.lax.dot_general(
+        kraw, dk_pb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwv = jax.lax.dot_general(
+        kraw, dv_pb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbq = jnp.sum(dq_p, axis=0, keepdims=True)
+    dbk = jnp.sum(dk_p, axis=0, keepdims=True)
+    dbv = jnp.sum(dv_p, axis=0, keepdims=True)
+
+    dq_ref[:] = dq_raw.astype(dq_ref.dtype)
+    dk_ref[:] = dk_raw.astype(dk_ref.dtype)
+
+    dw_step = jnp.stack([dwq, dwk, dwv, dwp])  # (4, D, D)
+    zero = jnp.zeros_like(dbq)
+    db_step = jnp.concatenate(
+        [dbq, dbk, dbv, dbp, zero, zero, zero, zero], axis=0)  # (8, D)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dw_ref[:] += dw_step
+    db_ref[:] += db_step
+
+
+def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
+                              scale, window_block, interpret, compute_dtype):
+    wb = window_block
+    q2, k2, bias2, wmats, bvec, dm = _prep_inputs(
+        query, keys, key_bias, proj, num_heads, wb, compute_dtype)
+    nw, nwp, nq, d = dm["nw"], dm["nwp"], dm["nq"], dm["d"]
+    nk_tot = dm["nk_tot"]
+    pad = nwp - nw
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
+    g2 = g.reshape(nwp * nq, d)
+
+    kernel = functools.partial(
+        _attn_bwd_kernel, num_heads=tuple(num_heads), nq=nq,
+        nk_tot=nk_tot, scale=float(scale), compute_dtype=compute_dtype,
+    )
+    dq2, dk2, dw, db = pl.pallas_call(
+        kernel,
+        grid=(nwp // wb,),
+        in_specs=_common_specs(wb, nq, nk_tot, d) + [
+            pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
             pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wb * nk_tot, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, wb * nt), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb * nt, wb * nk_tot), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb * nt, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb * nt, wb * tot_heads), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwp * nq, d), query.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((nwp * nq, d), query.dtype),
+            jax.ShapeDtypeStruct((nwp * nk_tot, d), keys.dtype),
+            jax.ShapeDtypeStruct((4, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+        ],
         interpret=interpret,
-    )(q2, k2, bias2, wmats, bvec,
-      jnp.asarray(p_np, bf), jnp.asarray(mv_np, bf), jnp.asarray(bs2_np, bf))
-    return out.reshape(nwp, nq, d)[:nw]
+    )(q2, k2, bias2, wmats, bvec, g2)
+
+    dq = dq2.reshape(nwp, nq, d)[:nw]
+    dk = dk2.reshape(nwp, nk_tot, d)[:nw]
+    wq, bq, wk, bk, wv, bv, wp, bp = proj
+    dproj = (
+        dw[0].astype(wq.dtype), db[0].astype(bq.dtype),
+        dw[1].astype(wk.dtype), db[1].astype(bk.dtype),
+        dw[2].astype(wv.dtype), db[2].astype(bv.dtype),
+        dw[3].astype(wp.dtype), db[3].astype(bp.dtype),
+    )
+    return dq, dk, dproj

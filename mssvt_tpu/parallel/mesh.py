@@ -105,7 +105,9 @@ def shard_batch_for_mesh(batch: dict, mesh: Mesh, batch_size: int) -> dict:
     for k, v in batch.items():
         if k == "batch_size":
             continue
-        if not isinstance(v, np.ndarray):
+        if hasattr(v, "shape"):  # accept numpy and jax arrays alike
+            v = np.asarray(v)
+        else:
             continue
         if k in ("voxels", "voxel_coords", "voxel_num_points", "voxel_valid"):
             v = v.reshape((n_dev, v.shape[0] // n_dev) + v.shape[1:])

@@ -92,6 +92,68 @@ def test_fused_kernel_matches_reference_core(num_heads, compute_dtype,
     np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
 
 
+def _ref_full_jax(query, keys, proj, bias, num_heads, scale):
+    """jax mirror of _ref_full (differentiable reference for grad parity)."""
+    wq, bq, wk, bk, wv, bv, wp, bp = proj
+    nw, nq, d = query.shape
+    groups = len(num_heads)
+    tot_heads = sum(num_heads)
+    ph = d // tot_heads
+    nk = keys.shape[1] // groups
+    q = query @ wq + bq
+    k = keys @ wk + bk
+    v = keys @ wv + bv
+    outs = []
+    t = 0
+    for g, h in enumerate(num_heads):
+        for _ in range(h):
+            ch = slice(t * ph, (t + 1) * ph)
+            kr = slice(g * nk, (g + 1) * nk)
+            s = q[:, :, ch] @ jnp.swapaxes(k[:, kr, ch], 1, 2) * scale
+            s = s + bias[:, None, kr]
+            a = jax.nn.softmax(s, axis=-1)
+            outs.append(a @ v[:, kr, ch])
+            t += 1
+    return jnp.concatenate(outs, axis=-1) @ wp + bp
+
+
+@pytest.mark.parametrize("num_heads", [(2, 2), (1, 3)])
+def test_fused_kernel_grad_parity(num_heads):
+    """Custom VJP (Pallas backward, interpret mode, fp32) vs autodiff of the
+    einsum reference — tight tolerance on every cotangent."""
+    rng = np.random.default_rng(7)
+    nw, nq, nk_tot, d = 6, 16, 32, 64
+    query = jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(nw, nk_tot, d)).astype(np.float32))
+    km = rng.random((nw, nk_tot)) < 0.3
+    bias = jnp.asarray(np.where(km, -100.0, 0.0).astype(np.float32))
+    proj = tuple(jnp.asarray(p)
+                 for p in _rand_proj(rng, num_heads, d))
+    scale = (d // sum(num_heads)) ** -0.5
+    gout = jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32))
+
+    def loss_fused(q, k, pr):
+        out = fused_window_attention(
+            q, k, pr, bias, num_heads=num_heads, scale=scale,
+            interpret=True, compute_dtype=jnp.float32)
+        return jnp.sum(out * gout)
+
+    def loss_ref(q, k, pr):
+        return jnp.sum(_ref_full_jax(q, k, pr, bias, num_heads, scale) * gout)
+
+    with jax.default_matmul_precision("float32"):
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(query, keys, proj)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(query, keys, proj)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               atol=2e-3, rtol=2e-3)
+    labels = ["wq", "bq", "wk", "bk", "wv", "bv", "wp", "bp"]
+    for name, a, b in zip(labels, gf[2], gr[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=2e-3, err_msg=name)
+
+
 def test_module_fused_path_matches_einsum_path(monkeypatch):
     rng = np.random.default_rng(1)
     nw, nq, nk_tot, d = 10, 16, 32, 64
@@ -112,6 +174,39 @@ def test_module_fused_path_matches_einsum_path(monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
     # padded queries stay zero
     assert np.all(got[np.asarray(qm)] == 0)
+
+
+def test_module_training_grads_fused_vs_einsum(monkeypatch):
+    """deterministic=False with dropout=0 routes through the fused kernel;
+    parameter grads must match the einsum path (checks the custom VJP through
+    the block-diagonal weight assembly)."""
+    rng = np.random.default_rng(5)
+    nw, nq, nk_tot, d = 4, 16, 32, 64
+    q = jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(nw, nk_tot, d)).astype(np.float32))
+    km = jnp.asarray(rng.random((nw, nk_tot)) < 0.2)
+    gout = jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32))
+
+    m = MixedScaleAttention(embed_dim=d, num_heads=(2, 2), dropout=0.0)
+    params = m.init(jax.random.PRNGKey(0), q, k, None, km)
+
+    def loss(p):
+        out = m.apply(p, q, k, None, km, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(out * gout)
+
+    with jax.default_matmul_precision("float32"):
+        monkeypatch.setenv("MSSVT_PALLAS", "off")
+        g_einsum = jax.grad(loss)(params)
+        monkeypatch.setenv("MSSVT_PALLAS", "interpret")
+        g_fused = jax.grad(loss)(params)
+    flat_e = jax.tree_util.tree_flatten_with_path(g_einsum)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_fused)[0]
+    for (pe, ae), (pf, af) in zip(flat_e, flat_f):
+        assert pe == pf
+        np.testing.assert_allclose(
+            np.asarray(af), np.asarray(ae), atol=2e-3, rtol=2e-3,
+            err_msg=str(pe))
 
 
 def test_module_param_tree_identical_between_paths(monkeypatch):
