@@ -128,7 +128,7 @@ def run_train(cfg, model, scenes, batch_size):
     print(f"# train compile+first step: {time.time() - t0:.1f}s "
           f"(loss={l0:.3f})", file=sys.stderr)
     assert np.isfinite(l0), f"non-finite train loss {l0}"
-    for s in scenes[1:]:
+    for s in sharded[1:]:
         params, batch_stats, opt_state, loss, _ = step(
             params, batch_stats, opt_state, s, jax.random.PRNGKey(3))
     float(np.asarray(loss))
@@ -138,7 +138,7 @@ def run_train(cfg, model, scenes, batch_size):
     sink = 0.0
     for i in range(n_iter):
         params, batch_stats, opt_state, loss, _ = step(
-            params, batch_stats, opt_state, scenes[i % len(scenes)],
+            params, batch_stats, opt_state, sharded[i % len(sharded)],
             jax.random.PRNGKey(10 + i))
         sink += float(np.asarray(loss))  # host readback forces completion
     dt = (time.time() - t0) / n_iter

@@ -13,10 +13,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 
 def _bn(train: bool, dtype, name: str):
     # torch BatchNorm2d(momentum=0.01) ≙ flax BatchNorm(momentum=0.99)
-    return nn.BatchNorm(
+    return BatchNorm(
         use_running_average=not train, momentum=0.99, epsilon=1e-3,
         dtype=dtype, name=name,
     )

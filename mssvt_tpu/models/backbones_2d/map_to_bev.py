@@ -18,6 +18,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...core.sparse import SparseVoxels
 
 
@@ -48,7 +50,7 @@ class HeightCompression(nn.Module):
                 padding=[(p, p), (p, p)], kernel_dilation=(d, d),
                 use_bias=False, dtype=self.dtype, name=f"compress_conv_{i}",
             )(x)
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name=f"compress_bn_{i}",
             )(x)
@@ -89,6 +91,6 @@ class Conv2DCollapse(nn.Module):
             b, gy, gx, gz * c).astype(self.dtype)
         x = nn.Conv(self.num_bev_features, (1, 1), use_bias=False,
                     dtype=self.dtype, name="collapse_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype, name="collapse_bn")(x)
         return nn.relu(x).astype(jnp.float32)

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 
 def bin_depths_lid(depth, depth_min, depth_max, num_bins):
     """LID depth discretization (ref: utils/transform_utils.py:bin_depths).
@@ -61,7 +63,7 @@ class DepthFFN(nn.Module):
         for i in range(self.num_blocks):
             x = nn.Conv(c * (2 ** min(i, 2)), (3, 3), strides=(2, 2),
                         use_bias=False, dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            x = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
         feat = nn.Conv(self.num_channels, (3, 3), padding="SAME",

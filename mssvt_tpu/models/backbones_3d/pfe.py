@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...ops.pointnet2 import query_and_group
 from ...ops.sampling import (
     farthest_point_sample,
@@ -116,7 +118,7 @@ class VoxelSetAbstraction(nn.Module):
                     h = nn.Dense(int(mlp[-1]), use_bias=False,
                                  dtype=self.dtype,
                                  name=f"{name}_vp_fc_{i}")(pooled)
-                    h = nn.BatchNorm(use_running_average=not train,
+                    h = BatchNorm(use_running_average=not train,
                                      momentum=0.99, epsilon=1e-3,
                                      dtype=self.dtype,
                                      name=f"{name}_vp_bn_{i}")(h)
@@ -134,7 +136,7 @@ class VoxelSetAbstraction(nn.Module):
         out_c = int(cfg["NUM_OUTPUT_FEATURES"])
         fused = nn.Dense(out_c, use_bias=False, dtype=self.dtype,
                          name="vsa_point_fc")(kp_feat)
-        fused = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        fused = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype, name="vsa_bn")(fused)
         fused = nn.relu(fused)
         return keypoints, fused.astype(jnp.float32), kp_feat.astype(jnp.float32)

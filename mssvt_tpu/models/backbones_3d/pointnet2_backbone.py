@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...ops.pointnet2 import query_and_group
 from ...ops.sampling import farthest_point_sample, gather_along_batch, three_interpolate, three_nn
 
@@ -29,7 +31,7 @@ class SharedMLP(nn.Module):
     def __call__(self, x, train: bool = False):
         for i, c in enumerate(self.channels):
             x = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"mlp_{i}")(x)
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype, name=f"bn_{i}",
             )(x)

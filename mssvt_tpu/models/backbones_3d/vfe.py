@@ -16,6 +16,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 
 class MeanVFE(nn.Module):
     """Mean of the (zero-padded) points in each voxel (ref: mean_vfe.py:14-31)."""
@@ -76,7 +78,7 @@ class PillarVFE(nn.Module):
             units = nf if last else nf // 2
             x = nn.Dense(units, use_bias=not self.use_norm, name=f"pfn_{i}")(x)
             if self.use_norm:
-                x = nn.BatchNorm(
+                x = BatchNorm(
                     use_running_average=not train, momentum=0.99, epsilon=1e-3,
                     name=f"pfn_bn_{i}",
                 )(x)
@@ -132,7 +134,7 @@ class HardVFE(nn.Module):
             units = nf if last else nf // 2
             x = nn.Dense(units, use_bias=not self.use_norm, name=f"vfe_{i}")(x)
             if self.use_norm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                x = BatchNorm(use_running_average=not train, momentum=0.99,
                                  epsilon=1e-3, name=f"vfe_bn_{i}")(x)
             x = nn.relu(x) * pt_mask.astype(x.dtype)
             x_max = jnp.max(x, axis=1, keepdims=True)
@@ -194,7 +196,7 @@ class DynamicVFE(nn.Module):
             last = i == len(self.num_filters) - 1
             x = nn.Dense(nf, use_bias=not self.use_norm, name=f"dvfe_{i}")(x)
             if self.use_norm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                x = BatchNorm(use_running_average=not train, momentum=0.99,
                                  epsilon=1e-3, name=f"dvfe_bn_{i}")(x)
             x = nn.relu(x) * ok[:, None]
             voxel_feat = scatter_mean(x)

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...utils.box_coder import ResidualCoder
 from ..losses import sigmoid_focal_cls_loss, weighted_cross_entropy, weighted_smooth_l1
 from .anchor_head import AnchorHeadSingle, _nearest_bev_iou, generate_anchors
@@ -103,7 +105,7 @@ class AnchorHeadMulti(nn.Module):
         self.shared_conv = nn.Conv(
             self.shared_ch, (3, 3), padding="SAME", use_bias=False,
             dtype=self.dtype, name="shared_conv")
-        self.shared_bn = nn.BatchNorm(momentum=0.99, epsilon=1e-3,
+        self.shared_bn = BatchNorm(momentum=0.99, epsilon=1e-3,
                                       dtype=self.dtype)
 
         heads, metas = [], []

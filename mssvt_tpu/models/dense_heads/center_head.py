@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...ops.nms import nms_bev
 from ..losses import focal_loss_centernet, reg_loss_centernet
 from ..model_utils.centernet import (
@@ -48,7 +50,7 @@ class SeparateHead(nn.Module):
                     x.shape[-1], (3, 3), padding="SAME", use_bias=self.use_bias,
                     dtype=self.dtype, name=f"{name}_conv{k}",
                 )(h)
-                h = nn.BatchNorm(
+                h = BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
                     dtype=self.dtype, name=f"{name}_bn{k}",
                 )(h)
@@ -97,7 +99,7 @@ class CenterHead(nn.Module):
             use_bias=bool(cfg.get("USE_BIAS_BEFORE_NORM", False)),
             dtype=self.dtype, name="shared_conv",
         )
-        self.shared_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        self.shared_bn = BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
         heads = []
         for i, names in enumerate(self.class_names_each_head):

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...ops.pointnet2 import points_in_boxes
 from ..losses import sigmoid_focal_cls_loss, weighted_smooth_l1
 
@@ -63,7 +65,7 @@ class PointHeadSimple(nn.Module):
         x = point_features.astype(self.dtype)
         for i, c in enumerate(self.model_cfg.get("CLS_FC", [256, 256])):
             x = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"cls_fc_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            x = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype, name=f"cls_bn_{i}")(x)
             x = nn.relu(x)
         return nn.Dense(self.num_class, dtype=self.dtype, name="cls_out")(x).astype(
@@ -97,7 +99,7 @@ class PointHeadBox(nn.Module):
             for i, c in enumerate(fcs):
                 x = nn.Dense(c, use_bias=False, dtype=self.dtype,
                              name=f"{name}_fc_{i}")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                x = BatchNorm(use_running_average=not train, momentum=0.99,
                                  epsilon=1e-3, dtype=self.dtype,
                                  name=f"{name}_bn_{i}")(x)
                 x = nn.relu(x)

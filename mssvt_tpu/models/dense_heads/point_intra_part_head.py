@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ..losses import sigmoid_focal_cls_loss
 from .point_head import assign_point_targets
 
@@ -51,7 +53,7 @@ class PointIntraPartOffsetHead(nn.Module):
             for i, ch in enumerate(fcs):
                 x = nn.Dense(ch, use_bias=False, dtype=self.dtype,
                              name=f"{name}_fc_{i}")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                x = BatchNorm(use_running_average=not train, momentum=0.99,
                                  epsilon=1e-3, dtype=self.dtype,
                                  name=f"{name}_bn_{i}")(x)
                 x = nn.relu(x)

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...ops.pointnet2 import roipoint_pool3d
 from ...utils.box_coder import ResidualCoder
 from ..backbones_3d.pointnet2_backbone import SharedMLP
@@ -66,7 +68,7 @@ class PointRCNNRoIHead(nn.Module):
         for i, fc in enumerate(self.model_cfg.get("SHARED_FC", [256, 256])):
             x = nn.Dense(fc, use_bias=False, dtype=self.dtype,
                          name=f"shared_fc_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            x = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,
                              name=f"shared_bn_{i}")(x)
             x = nn.relu(x)

@@ -32,12 +32,30 @@ class DropPath(nn.Module):
         return x * mask / keep
 
 
+def BatchNorm(**kw):
+    """flax BatchNorm bound to the active SyncBN axis (see syncbn.py).
+
+    Under the sharded train step the construction-time context supplies
+    ``axis_name`` so batch statistics sync across the data mesh — the
+    reference's SyncBN conversion (ref: train.py:118-119). Outside that
+    context it is a plain local BatchNorm.
+    """
+    from . import syncbn
+
+    kw.setdefault("axis_name", syncbn.bn_axis())
+    return nn.BatchNorm(**kw)
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over the valid rows of a padded (V, C) feature array.
 
     The reference applies BatchNorm1d to dynamic (N, C) sparse features
     (spconv norm layers); with static padding the statistics must exclude
     padding rows or they drift toward zero with occupancy.
+
+    Under :func:`syncbn.sync_bn` the sums AND counts are psum'd over the
+    data axis, giving EXACT global statistics even when devices hold
+    unequal valid-voxel counts (stronger than mean-of-means SyncBN).
     """
 
     momentum: float = 0.99
@@ -46,6 +64,9 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, train: bool = False):
+        from . import syncbn
+
+        axis = syncbn.bn_axis()
         c = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
@@ -56,9 +77,17 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             w = valid.astype(jnp.float32)[:, None]
-            n = jnp.clip(w.sum(), 1.0)
-            mean = (x * w).sum(0) / n
-            var = ((x - mean) ** 2 * w).sum(0) / n
+            xf = x.astype(jnp.float32)
+            n = w.sum()
+            sum_x = (xf * w).sum(0)
+            sum_x2 = (xf * xf * w).sum(0)
+            if axis is not None:
+                n = jax.lax.psum(n, axis)
+                sum_x = jax.lax.psum(sum_x, axis)
+                sum_x2 = jax.lax.psum(sum_x2, axis)
+            n = jnp.clip(n, 1.0)
+            mean = sum_x / n
+            var = jnp.clip(sum_x2 / n - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean

@@ -13,6 +13,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...ops.roiaware_pool import roiaware_pool3d
 
 
@@ -43,7 +45,7 @@ class PartA2FCHead(nn.Module):
             stride = 2 if i == 1 else 1  # ref max-pools the grid once
             x = nn.Conv(ch, (3, 3, 3), strides=(stride,) * 3, use_bias=False,
                         dtype=self.dtype, name=f"conv3d_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            x = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,
                              name=f"conv3d_bn_{i}")(x)
             x = nn.relu(x)
@@ -52,7 +54,7 @@ class PartA2FCHead(nn.Module):
         for i, fc in enumerate(cfg.get("SHARED_FC", [256, 256])):
             x = nn.Dense(fc, use_bias=False, dtype=self.dtype,
                          name=f"shared_fc_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            x = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,
                              name=f"shared_bn_{i}")(x)
             x = nn.relu(x)

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...ops.pointnet2 import query_and_group
 from ..backbones_3d.pointnet2_backbone import SharedMLP
 
@@ -65,7 +67,7 @@ class PVRCNNHead(nn.Module):
         for i, fc in enumerate(cfg.get("SHARED_FC", [256, 256])):
             x = nn.Dense(fc, use_bias=False, dtype=self.dtype,
                          name=f"shared_fc_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            x = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,
                              name=f"shared_bn_{i}")(x)
             x = nn.relu(x)

@@ -14,6 +14,8 @@ from typing import Any, Dict, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..model_utils.layers import BatchNorm
+
 from ...ops.sampling import group_features
 from ...ops.voxel_query import voxel_query
 from ..backbones_3d.pointnet2_backbone import SharedMLP
@@ -85,7 +87,7 @@ class VoxelRCNNHead(nn.Module):
         for i, fc in enumerate(cfg.get("SHARED_FC", [256, 256])):
             x = nn.Dense(fc, use_bias=False, dtype=self.dtype,
                          name=f"shared_fc_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            x = BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,
                              name=f"shared_bn_{i}")(x)
             x = nn.relu(x)

@@ -136,10 +136,16 @@ def make_sharded_train_step(model, tx, mesh: Mesh):
         rng = jax.random.fold_in(rng[0], jax.lax.axis_index("data"))
 
         def loss_fn(p):
-            out, updates = model.apply(
-                {"params": p, "batch_stats": batch_stats}, batch, train=True,
-                rngs={"dropout": rng}, mutable=["batch_stats"],
-            )
+            from ..models.model_utils.syncbn import sync_bn
+
+            # SyncBN: batch-norm statistics psum over the data axis during
+            # this trace (≙ ref train.py:118-119 convert_sync_batchnorm)
+            with sync_bn("data"):
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, batch,
+                    train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
             return out["loss"], (out["tb_dict"], updates.get("batch_stats", {}))
 
         (loss, (tb, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
