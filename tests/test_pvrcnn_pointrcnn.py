@@ -323,3 +323,39 @@ def test_pvrcnn_plusplus_vector_pool(rng):
     )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
     out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
     assert np.isfinite(np.asarray(out["final_boxes"])).all()
+    # vector-pool params actually exist in the tree (the NAME selected it)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    assert any("vp_fc" in "/".join(str(k.key) for k in p) for p, _ in flat)
+
+    # full ++ training path: loss + finite grads through SPC sampling and
+    # vector-pool aggregation
+    def loss_fn(params):
+        o, _ = model.apply({**variables, "params": params}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        return o["loss"]
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_pv_rcnn_plusplus_yaml_recipe():
+    """The shipped pv_rcnn_plusplus.yaml is a loadable first-class recipe:
+    PVRCNNPlusPlus registry name, SPC sampling and VectorPool SA selected."""
+    from pathlib import Path
+
+    from mssvt_tpu.config import cfg_from_yaml_file
+    from mssvt_tpu.models.detectors import __all__ as DET_REGISTRY
+
+    cfg = EasyDict()
+    cfg_from_yaml_file(str(Path(__file__).resolve().parent.parent /
+                           "tools/cfgs/kitti_models/pv_rcnn_plusplus.yaml"),
+                       cfg)
+    assert cfg.MODEL.NAME == "PVRCNNPlusPlus"
+    assert cfg.MODEL.NAME in DET_REGISTRY
+    assert cfg.MODEL.PFE.SAMPLE_METHOD == "SPC"
+    assert (cfg.MODEL.PFE.SA_LAYER.x_conv_out.NAME
+            == "VectorPoolAggregationModuleMSG")
+    assert cfg.MODEL.ROI_HEAD.NAME == "PVRCNNHead"
