@@ -198,7 +198,6 @@ def compute_waymo_metrics(prediction_infos, gt_infos, class_names,
                 ps, matched.astype(np.float64), hacc, mdiff.astype(np.float64)
             ], axis=1) if len(pb) else np.zeros((0, 4)))
         allp = np.concatenate(rows) if rows else np.zeros((0, 4))
-        cutoffs = np.linspace(0.0, 1.0 - 1.0 / num_cutoffs, num_cutoffs)
 
         for level, n_gt in ((1, n_gt_l1), (2, n_gt_l2)):
             if level == 1:
@@ -207,17 +206,27 @@ def compute_waymo_metrics(prediction_infos, gt_infos, class_names,
                 p = allp[keep]
             else:
                 p = allp
-            prec, rec, prec_h = [], [], []
-            for c in cutoffs:
-                sel = p[:, 0] >= c
-                n_pred = int(sel.sum())
-                tp = float(p[sel, 1].sum())
-                tph = float((p[sel, 1] * p[sel, 2]).sum())
-                if n_pred == 0 or n_gt == 0:
-                    continue
-                prec.append(tp / n_pred)
-                prec_h.append(tph / n_pred)
-                rec.append(tp / n_gt)
+            # EXACT rank-based PR curve: every distinct score is a cutoff
+            # (cumulative tp over the descending-score ordering). The
+            # official op subsamples ~num_cutoffs score quantiles
+            # (ref: waymo_eval.py:95-104 desired_score_cutoffs); the exact
+            # curve is its num_cutoffs→∞ limit — no score quantization
+            # drift in the headline number.
+            if len(p) == 0 or n_gt == 0:
+                rec = prec = prec_h = np.zeros(0)
+            else:
+                order = np.argsort(-p[:, 0], kind="stable")
+                ps = p[order]
+                tp_c = np.cumsum(ps[:, 1])
+                tph_c = np.cumsum(ps[:, 1] * ps[:, 2])
+                ranks = np.arange(1, len(ps) + 1, dtype=np.float64)
+                # collapse ties: evaluate only at the LAST index of each
+                # distinct score (>= cutoff includes all tied preds)
+                last = np.ones(len(ps), bool)
+                last[:-1] = ps[:-1, 0] != ps[1:, 0]
+                prec = tp_c[last] / ranks[last]
+                prec_h = tph_c[last] / ranks[last]
+                rec = tp_c[last] / n_gt
             key = f"OBJECT_TYPE_TYPE_{TYPE_NAME[ctype]}_LEVEL_{level}"
             results[key + "/AP"] = _pr_to_ap(np.asarray(rec), np.asarray(prec))
             results[key + "/APH"] = _pr_to_ap(np.asarray(rec), np.asarray(prec_h))
