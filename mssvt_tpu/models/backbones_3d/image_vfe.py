@@ -45,32 +45,160 @@ def bin_depths_lid(depth, depth_min, depth_max, num_bins):
     return jnp.clip(idx, 0, num_bins - 1)
 
 
+class _BasicBlock(nn.Module):
+    """ResNet BasicBlock (conv-bn-relu-conv-bn + skip), optional stride."""
+
+    channels: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = x
+        x = nn.Conv(self.channels, (3, 3), strides=(self.stride,) * 2,
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
+                      epsilon=1e-3, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
+                      epsilon=1e-3, dtype=self.dtype, name="bn2")(x)
+        if r.shape[-1] != self.channels or self.stride != 1:
+            r = nn.Conv(self.channels, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, dtype=self.dtype, name="down")(r)
+            r = BatchNorm(use_running_average=not train, momentum=0.99,
+                          epsilon=1e-3, dtype=self.dtype, name="down_bn")(r)
+        return nn.relu(x + r)
+
+
+class _ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (DeepLabV3's head core): parallel
+    dilated 3x3 convs + image-level pooling, concatenated then fused."""
+
+    channels: int
+    rates: Sequence[int] = (1, 6, 12)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = [nn.relu(nn.Conv(self.channels, (1, 1), use_bias=False,
+                                dtype=self.dtype, name="aspp_1x1")(x))]
+        for i, r in enumerate(self.rates):
+            h = nn.Conv(self.channels, (3, 3), kernel_dilation=(r, r),
+                        padding="SAME", use_bias=False, dtype=self.dtype,
+                        name=f"aspp_r{r}")(x)
+            outs.append(nn.relu(h))
+        # image-level pooling branch
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.relu(nn.Conv(self.channels, (1, 1), use_bias=False,
+                            dtype=self.dtype, name="aspp_pool")(g))
+        outs.append(jnp.broadcast_to(g, outs[0].shape))
+        h = jnp.concatenate(outs, axis=-1)
+        h = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="aspp_proj")(h)
+        h = BatchNorm(use_running_average=not train, momentum=0.99,
+                      epsilon=1e-3, dtype=self.dtype, name="aspp_bn")(h)
+        return nn.relu(h)
+
+
 class DepthFFN(nn.Module):
-    """Image → (frustum features, depth logits). Ref: ffn/depth_ffn.py."""
+    """Image → (frustum features, depth logits). Ref: ffn/depth_ffn.py.
+
+    A DeepLabV3-style network (the reference wraps a pretrained torchvision
+    ``deeplabv3_resnet101``, ref image_vfe_modules/ffn/ddn/ddn_deeplabv3.py;
+    pretrained torchvision weights don't exist here): ResNet-ish BasicBlock
+    encoder at stride 2^num_blocks, ASPP context head, then the reference's
+    two output heads — image features for the frustum and D+1 depth-bin
+    logits (last bin = beyond-range, ref ddn_template.py).
+    """
 
     num_depth_bins: int
     num_channels: int = 32
     num_blocks: int = 3
+    blocks_per_stage: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        """images (B, H, W, 3) → feat (B, h, w, C), depth_logits
-        (B, h, w, D+1) at stride 2^num_blocks (last bin = 'beyond range',
-        ref ddn_template adds one)."""
         x = images.astype(self.dtype)
         c = self.num_channels
-        for i in range(self.num_blocks):
-            x = nn.Conv(c * (2 ** min(i, 2)), (3, 3), strides=(2, 2),
-                        use_bias=False, dtype=self.dtype, name=f"conv{i}")(x)
-            x = BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=self.dtype, name=f"bn{i}")(x)
-            x = nn.relu(x)
+        # stem
+        x = nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
+                      epsilon=1e-3, dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        for i in range(1, self.num_blocks):
+            cs = c * (2 ** min(i, 2))
+            x = _BasicBlock(cs, stride=2, dtype=self.dtype,
+                            name=f"stage{i}_block0")(x, train=train)
+            for j in range(1, self.blocks_per_stage):
+                x = _BasicBlock(cs, dtype=self.dtype,
+                                name=f"stage{i}_block{j}")(x, train=train)
+        x = _ASPP(c * (2 ** min(self.num_blocks - 1, 2)), dtype=self.dtype,
+                  name="aspp")(x, train=train)
         feat = nn.Conv(self.num_channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name="feat_head")(x)
         depth_logits = nn.Conv(self.num_depth_bins + 1, (1, 1),
                                dtype=self.dtype, name="depth_head")(x)
         return feat.astype(jnp.float32), depth_logits.astype(jnp.float32)
+
+
+def ddn_loss(depth_logits, depth_maps, d_min, d_max, n_bins,
+             gt_boxes2d=None, alpha=0.25, gamma=2.0,
+             fg_weight=13.0, bg_weight=1.0):
+    """Depth-distribution loss (ref: ffn/ddn_loss/ddn_loss.py + balancer.py).
+
+    Focal cross-entropy over the D+1 LID depth bins against the
+    lidar-projected depth map, with foreground/background balancing by the
+    2D GT boxes (foreground = pixels inside any box, ref balancer.py
+    ``compute_fg_mask``). Pixels without depth (<= 0) are masked out.
+
+    Args:
+        depth_logits: (B, h, w, D+1); depth_maps: (B, H, W) meters (0 = none)
+        gt_boxes2d: optional (B, N, 4) [u1, v1, u2, v2] in FULL-image pixels.
+    Returns (loss, tb_dict).
+    """
+    b, h, w, _ = depth_logits.shape
+    gt = jax.image.resize(depth_maps, (b, h, w), "nearest")
+    valid = gt > 0
+    bins = jnp.where(
+        (gt > d_min) & (gt < d_max),
+        bin_depths_lid(gt, d_min, d_max, n_bins).astype(jnp.int32),
+        n_bins,
+    )
+    logp = jax.nn.log_softmax(depth_logits, axis=-1)
+    pt = jnp.take_along_axis(logp, bins[..., None], axis=-1)[..., 0]
+    # focal CE: -alpha * (1 - p)^gamma * log p  (kornia FocalLoss semantics)
+    focal = -alpha * (1.0 - jnp.exp(pt)) ** gamma * pt
+
+    if gt_boxes2d is not None:
+        stride = depth_maps.shape[1] // h
+        u = jnp.arange(w)[None, None, :] * stride
+        v = jnp.arange(h)[None, :, None] * stride
+        bx = gt_boxes2d  # (B, N, 4)
+        inside = ((u[..., None] >= bx[:, None, None, :, 0])
+                  & (u[..., None] <= bx[:, None, None, :, 2])
+                  & (v[..., None] >= bx[:, None, None, :, 1])
+                  & (v[..., None] <= bx[:, None, None, :, 3])
+                  & (bx[:, None, None, :, 2] > bx[:, None, None, :, 0]))
+        fg = jnp.any(inside, axis=-1)  # (B, h, w)
+    else:
+        fg = jnp.zeros((b, h, w), bool)
+    weights = jnp.where(fg, fg_weight, bg_weight) * valid
+    # per-region normalization (ref balancer.py: fg/bg losses each averaged
+    # over the full pixel count, then summed)
+    n_pix = jnp.clip(valid.sum(), 1)
+    loss = (focal * weights).sum() / n_pix
+    tb = {
+        "ddn_loss_fg": (focal * jnp.where(fg, fg_weight, 0.0) * valid).sum()
+        / n_pix,
+        "ddn_loss_bg": (focal * jnp.where(fg, 0.0, bg_weight) * valid).sum()
+        / n_pix,
+    }
+    return loss, tb
 
 
 class ImageVFE(nn.Module):
@@ -101,6 +229,7 @@ class ImageVFE(nn.Module):
             num_depth_bins=n_bins,
             num_channels=int(ddn_cfg.get("NUM_CHANNELS", 32)),
             num_blocks=int(ddn_cfg.get("NUM_BLOCKS", 3)),
+            blocks_per_stage=int(ddn_cfg.get("BLOCKS_PER_STAGE", 1)),
             dtype=self.dtype, name="ffn",
         )
         feat, depth_logits = ffn(images, train=train)

@@ -68,25 +68,27 @@ class CaDDN(nn.Module):
             dtype=self.dtype,
         )
 
-    def depth_loss(self, depth_logits, depth_maps):
-        """CE between predicted depth distribution and LID-binned GT depth
-        (ref: ddn_loss.py — focal weighting omitted; padding bin D = beyond
-        range / missing)."""
-        disc = self.model_cfg["VFE"].get("DISCRETIZE", {})
-        d_min = float(disc.get("DEPTH_MIN", 2.0))
-        d_max = float(disc.get("DEPTH_MAX", 46.8))
-        n_bins = int(disc.get("NUM_BINS", 80))
-        b, h, w, _ = depth_logits.shape
-        gt = jax.image.resize(depth_maps, (b, h, w), "nearest")
-        valid = gt > 0
-        bins = jnp.where(
-            (gt > d_min) & (gt < d_max),
-            bin_depths_lid(gt, d_min, d_max, n_bins).astype(jnp.int32),
-            n_bins,
+    def depth_loss(self, depth_logits, depth_maps, gt_boxes2d=None):
+        """Focal depth-distribution loss with fg/bg balancing
+        (ref: ffn/ddn_loss/ddn_loss.py + balancer.py; see
+        image_vfe.ddn_loss)."""
+        from ..backbones_3d.image_vfe import ddn_loss
+
+        vfe_cfg = self.model_cfg["VFE"]
+        disc = vfe_cfg.get("DISCRETIZE", {})
+        args = vfe_cfg.get("FFN", {}).get("LOSS", {}).get("ARGS", {})
+        loss, _ = ddn_loss(
+            depth_logits, depth_maps,
+            d_min=float(disc.get("DEPTH_MIN", 2.0)),
+            d_max=float(disc.get("DEPTH_MAX", 46.8)),
+            n_bins=int(disc.get("NUM_BINS", 80)),
+            gt_boxes2d=gt_boxes2d,
+            alpha=float(args.get("alpha", 0.25)),
+            gamma=float(args.get("gamma", 2.0)),
+            fg_weight=float(args.get("fg_weight", 13.0)),
+            bg_weight=float(args.get("bg_weight", 1.0)),
         )
-        logp = jax.nn.log_softmax(depth_logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, bins[..., None], axis=-1)[..., 0]
-        return (ce * valid).sum() / jnp.clip(valid.sum(), 1)
+        return loss
 
     def __call__(self, batch, train: bool = False):
         vox, depth_logits = self.vfe(
@@ -102,7 +104,8 @@ class CaDDN(nn.Module):
             targets = self.dense_head.assign_targets(batch["gt_boxes"])
             loss, tb = self.dense_head.get_loss(preds, targets)
             if "depth_maps" in batch:
-                dl = self.depth_loss(depth_logits, batch["depth_maps"])
+                dl = self.depth_loss(depth_logits, batch["depth_maps"],
+                                     batch.get("gt_boxes2d"))
                 loss = loss + dl * float(
                     self.model_cfg["VFE"].get("LOSS_WEIGHT", 3.0))
                 tb["depth_loss"] = dl
