@@ -62,15 +62,26 @@ def _head_layout(num_heads: Sequence[int], embed_dim: int, nk_tot: int):
     return tot_heads, per_head, nk, tuple(key_block)
 
 
+import os as _os
+
+# Kernel variant for the per-head attention core (see _per_head_attn):
+#   slice — per-head LANE-SLICED q/k/v dots (fewest MACs on paper, but
+#           32-wide lane slices force Mosaic relayouts and K=32 MXU passes)
+#   mask  — per-head channel-MASKED full-width dots (full-width operands,
+#           K=128 contraction, mask is free VPU)
+# Selected once at import; override with MSSVT_ATTN_VARIANT for A/B runs.
+ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "mask")
+
+
 def _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot, scale, bf):
-    """Shared fwd core: per-head channel-sliced attention.
+    """Shared fwd core: per-head attention over the supertile key slab.
 
     Replaces the earlier P-matrix key replication (Kexp/Vexp dots were >50%
-    of kernel MACs and the block-sum softmax needed two more): head t reads
-    its static channel slice of q/k/v, scores only against its group's key
-    stripe (iota mask), softmax is plain row-wise (each row has exactly one
-    valid stripe), and per-head outputs concatenate back along lanes in head
-    order — which IS the output channel layout.
+    of kernel MACs and the block-sum softmax needed two more): head t scores
+    its channel slice of q against the same slice of k over all supertile
+    keys, an iota mask confines each row to its own window's group stripe,
+    softmax is plain row-wise, and per-head outputs land in their channel
+    slice of the output.
 
     Returns (o (M, D) f32, per-head list of (a, mask) for reuse by bwd).
     """
@@ -85,20 +96,36 @@ def _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot, scale, bf):
     ci = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
     cw = ci // nk_tot
     cg = (ci % nk_tot) // nk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, q.shape[1]), 1)
     outs, cache = [], []
+    o_sum = None
     for t, g in enumerate(key_block):
         sl = slice(t * ph, (t + 1) * ph)
-        s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (M, N)
+        if ATTN_VARIANT == "slice":
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (M, N)
+        else:
+            mh = ((lane >= t * ph) & (lane < (t + 1) * ph)).astype(bf)
+            s = jax.lax.dot_general(
+                q * mh, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (M, N), full-width
         valid = (rw == cw) & (cg == g)
         s = jnp.where(valid, s * scale + bias_row, -1e9)
         e = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
         a = e / (jnp.sum(e, axis=1, keepdims=True) + 1e-30)
-        outs.append(jax.lax.dot(a.astype(bf), v[:, sl],
-                                preferred_element_type=jnp.float32))
+        if ATTN_VARIANT == "slice":
+            outs.append(jax.lax.dot(a.astype(bf), v[:, sl],
+                                    preferred_element_type=jnp.float32))
+        else:
+            mh = ((lane >= t * ph) & (lane < (t + 1) * ph))
+            ot = jax.lax.dot(a.astype(bf), v,
+                             preferred_element_type=jnp.float32)
+            ot = jnp.where(mh, ot, 0.0)
+            o_sum = ot if o_sum is None else o_sum + ot
         cache.append((a, valid))
-    return jnp.concatenate(outs, axis=1), cache
+    o = jnp.concatenate(outs, axis=1) if ATTN_VARIANT == "slice" else o_sum
+    return o, cache
 
 
 def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, o_ref, *,
@@ -296,29 +323,54 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, g_ref,
         preferred_element_type=jnp.float32)
     dbp = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
 
-    # per-head attention backward on channel slices
+    # per-head attention backward (same variant dichotomy as the forward)
     tot_heads = sum(num_heads)
     ph = q.shape[1] // tot_heads
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, q.shape[1]), 1)
     dq_parts, dk_parts, dv_parts = [], [], []
+    dq_sum = dk_sum = dv_sum = None
     for t, (a, _valid) in enumerate(cache):
         sl = slice(t * ph, (t + 1) * ph)
-        do_t = do1[:, sl]  # (M, ph)
-        da = jax.lax.dot_general(  # do_t @ v_sl^T
-            do_t, v[:, sl], (((1,), (1,)), ((), ())),
+        if ATTN_VARIANT == "slice":
+            do_t = do1[:, sl]  # (M, ph)
+            da = jax.lax.dot_general(  # do_t @ v_sl^T
+                do_t, v[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (M, N)
+            dv_parts.append(jax.lax.dot_general(  # a^T @ do_t
+                a.astype(bf), do_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # (N, ph)
+            rs = jnp.sum(da * a, axis=1, keepdims=True)
+            ds = (a * (da - rs) * scale).astype(bf)  # (M, N); 0 off-stripe
+            dq_parts.append(jax.lax.dot(
+                ds, k[:, sl], preferred_element_type=jnp.float32))  # (M, ph)
+            dk_parts.append(jax.lax.dot_general(  # ds^T @ q_sl
+                ds, q[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # (N, ph)
+            continue
+        mh = ((lane >= t * ph) & (lane < (t + 1) * ph))
+        do_t = jnp.where(mh, do1, 0).astype(bf)  # (M, D) masked full-width
+        da = jax.lax.dot_general(  # do_t @ v^T (zeros off-slice make it v_sl)
+            do_t, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (M, N)
-        dv_parts.append(jax.lax.dot_general(  # a^T @ do_t
+        dv_t = jax.lax.dot_general(  # a^T @ do_t — cols masked already
             a.astype(bf), do_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))  # (N, ph)
-        rs = jnp.sum(da * a, axis=1, keepdims=True)  # row-wise softmax bwd
-        ds = (a * (da - rs) * scale).astype(bf)  # (M, N); 0 off-stripe
-        dq_parts.append(jax.lax.dot(
-            ds, k[:, sl], preferred_element_type=jnp.float32))  # (M, ph)
-        dk_parts.append(jax.lax.dot_general(  # ds^T @ q_sl
-            ds, q[:, sl], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))  # (N, ph)
-    dq_p = jnp.concatenate(dq_parts, axis=1)  # (M, D)
-    dk_p = jnp.concatenate(dk_parts, axis=1)  # (N, D)
-    dv_p = jnp.concatenate(dv_parts, axis=1)  # (N, D)
+            preferred_element_type=jnp.float32)  # (N, D)
+        rs = jnp.sum(da * a, axis=1, keepdims=True)
+        ds = (a * (da - rs) * scale).astype(bf)  # (M, N)
+        dq_t = jnp.where(mh, jax.lax.dot(
+            ds, k, preferred_element_type=jnp.float32), 0.0)  # (M, D)
+        dk_t = jax.lax.dot_general(  # ds^T @ (q masked)
+            ds, jnp.where(mh, q, 0).astype(bf), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (N, D)
+        dq_sum = dq_t if dq_sum is None else dq_sum + dq_t
+        dk_sum = dk_t if dk_sum is None else dk_sum + dk_t
+        dv_sum = dv_t if dv_sum is None else dv_sum + dv_t
+    if ATTN_VARIANT == "slice":
+        dq_p = jnp.concatenate(dq_parts, axis=1)  # (M, D)
+        dk_p = jnp.concatenate(dk_parts, axis=1)  # (N, D)
+        dv_p = jnp.concatenate(dv_parts, axis=1)  # (N, D)
+    else:
+        dq_p, dk_p, dv_p = dq_sum, dk_sum, dv_sum
     # projections
     dq_pb = dq_p.astype(bf)
     dk_pb = dk_p.astype(bf)

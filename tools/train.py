@@ -68,7 +68,10 @@ def main():
     batch_size = args.batch_size or cfg_.OPTIMIZATION.BATCH_SIZE_PER_GPU
     epochs = args.epochs or cfg_.OPTIMIZATION.NUM_EPOCHS
 
-    output_dir = cfg_.ROOT_DIR / "output" / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
+    # MSSVT_OUTPUT_ROOT overrides the repo-rooted output tree (CI / tests)
+    out_root = Path(os.environ.get("MSSVT_OUTPUT_ROOT",
+                                   cfg_.ROOT_DIR / "output"))
+    output_dir = out_root / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
     ckpt_dir = output_dir / "ckpt"
     output_dir.mkdir(parents=True, exist_ok=True)
     log_file = output_dir / (
