@@ -37,14 +37,32 @@ class WaymoDataset(DatasetTemplate):
         )
         self.infos = []
         self.include_waymo_data(self.mode)
-        # host-RAM point-cloud cache ≙ the reference's /dev/shm SharedArray
-        # staging (ref: waymo_dataset.py:77-119). Single-process loaders on
-        # this runtime make a plain dict sufficient; capped by entry count.
+        # Two-tier point-cloud cache ≙ the reference's /dev/shm SharedArray
+        # staging (ref: waymo_dataset.py:77-119): a per-process dict, backed
+        # by /dev/shm .npy files SHARED across dataloader workers and ranks
+        # (mmap'd loads ride the page cache — the same memory serves every
+        # process, like the reference's sa.attach("shm://...")).
         self.use_shared_memory = bool(
             dataset_cfg.get("USE_SHARED_MEMORY", False))
         self.shared_memory_file_limit = int(
             dataset_cfg.get("SHARED_MEMORY_FILE_LIMIT", 0x7FFFFFFF))
         self._lidar_cache = {}
+        shm_root = Path(dataset_cfg.get("SHARED_MEMORY_ROOT", "/dev/shm"))
+        self._shm_dir = (shm_root / "mssvt_waymo_cache" / self.split
+                         if self.use_shared_memory else None)
+        if self._shm_dir is not None:
+            try:
+                self._shm_dir.mkdir(parents=True, exist_ok=True)
+            except OSError:
+                self._shm_dir = None  # no /dev/shm → per-process dict only
+
+    def clean_shared_memory(self):
+        """Remove this split's /dev/shm staging (ref: waymo_dataset.py
+        117-119 cleans its SharedArrays after training)."""
+        import shutil
+
+        if self._shm_dir is not None and self._shm_dir.exists():
+            shutil.rmtree(self._shm_dir, ignore_errors=True)
 
     def set_split(self, split):
         """Re-point the sequence list at another split (ref:
@@ -88,6 +106,12 @@ class WaymoDataset(DatasetTemplate):
         key = (sequence_name, sample_idx)
         if self.use_shared_memory and key in self._lidar_cache:
             return self._lidar_cache[key].copy()
+        shm_file = (self._shm_dir / f"{sequence_name}_{sample_idx:04d}.npy"
+                    if self._shm_dir is not None else None)
+        if shm_file is not None and shm_file.exists():
+            # another worker/rank already staged the PROCESSED points; the
+            # mmap shares pages with every attached process
+            return np.array(np.load(shm_file, mmap_mode="r"))
         lidar_file = self.data_path / sequence_name / f"{sample_idx:04d}.npy"
         point_features = np.load(lidar_file)  # (N, 6): x, y, z, int, elong, nlz
         points_all, nlz_flag = point_features[:, 0:5], point_features[:, 5]
@@ -96,6 +120,13 @@ class WaymoDataset(DatasetTemplate):
         if (self.use_shared_memory
                 and len(self._lidar_cache) < self.shared_memory_file_limit):
             self._lidar_cache[key] = points_all.copy()
+            if shm_file is not None and not shm_file.exists():
+                tmp = shm_file.with_suffix(".tmp.npy")
+                try:  # atomic publish: writers race benignly
+                    np.save(tmp, points_all)
+                    tmp.rename(shm_file)
+                except OSError:
+                    tmp.unlink(missing_ok=True)
         return points_all
 
     def __getitem__(self, index):

@@ -162,7 +162,7 @@ def fused_window_attention(
     key_bias: jnp.ndarray,  # (NW, nk_tot) additive (e.g. -100 where padded)
     num_heads: Tuple[int, ...],
     scale: float,
-    window_block: int = 4,
+    window_block: int = 8,  # microbenched: 10.65ms vs 12.5 (wb=4) / 13.4 (16)
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:

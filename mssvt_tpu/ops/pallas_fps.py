@@ -60,6 +60,72 @@ def _fps_kernel(x_ref, y_ref, z_ref, o_ref, *, npoint):
     o_ref[:] = out
 
 
+def _fps_kernel_t(x_ref, y_ref, z_ref, o_ref, *, npoint):
+    """Transposed layout: windows ride the LANE axis ((N, W) blocks), so the
+    per-iteration min-dist reductions run along SUBLANES (8-deep) instead of
+    the 128-wide lane axis."""
+    x = x_ref[:].astype(jnp.float32)  # (N, W)
+    y = y_ref[:].astype(jnp.float32)
+    z = z_ref[:].astype(jnp.float32)
+    n, wcols = x.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, wcols), 0)
+    orow = jax.lax.broadcasted_iota(jnp.int32, (npoint, wcols), 0)
+
+    def body(i, carry):
+        min_dist, last, out = carry
+        sel = (row == last).astype(jnp.float32)  # (N, W) one-hot per column
+        lx = jnp.sum(x * sel, axis=0, keepdims=True)  # (1, W)
+        ly = jnp.sum(y * sel, axis=0, keepdims=True)
+        lz = jnp.sum(z * sel, axis=0, keepdims=True)
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        min_dist = jnp.minimum(min_dist, d)
+        m = jnp.max(min_dist, axis=0, keepdims=True)
+        nxt = jnp.min(jnp.where(min_dist == m, row, n), axis=0,
+                      keepdims=True).astype(jnp.int32)  # (1, W)
+        out = jnp.where(orow == i, nxt, out)
+        return min_dist, nxt, out
+
+    out0 = jnp.zeros((npoint, wcols), jnp.int32)
+    init = (jnp.full((n, wcols), 1e10, jnp.float32),
+            jnp.zeros((1, wcols), jnp.int32), out0)
+    _, _, out = jax.lax.fori_loop(1, npoint, body, init)
+    o_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npoint", "col_block", "interpret"))
+def farthest_point_sample_planes_pallas_t(
+    x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, npoint: int,
+    col_block: int = 512, interpret: bool = False,
+) -> jnp.ndarray:
+    """Transposed-layout FPS: (B, N) planes -> (B, npoint) indices, with the
+    window axis tiled along lanes."""
+    b, n = x.shape
+    pad = (-b) % col_block
+    xt = jnp.pad(x, ((0, pad), (0, 0))).T  # (N, BP)
+    yt = jnp.pad(y, ((0, pad), (0, 0))).T
+    zt = jnp.pad(z, ((0, pad), (0, 0))).T
+    bp = b + pad
+    kernel = functools.partial(_fps_kernel_t, npoint=npoint)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // col_block,),
+        in_specs=[
+            pl.BlockSpec((n, col_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, col_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, col_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((npoint, col_block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npoint, bp), jnp.int32),
+        interpret=interpret,
+    )(xt.astype(jnp.float32), yt.astype(jnp.float32), zt.astype(jnp.float32))
+    return out.T[:b]
+
+
 @functools.partial(
     jax.jit, static_argnames=("npoint", "row_block", "interpret"))
 def farthest_point_sample_planes_pallas(

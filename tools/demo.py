@@ -1,6 +1,7 @@
 """Inference demo on a folder of point clouds (ref: tools/demo.py:23-110).
 
-Loads .bin/.npy point files, runs the model, prints detections (visualization
+Loads .bin/.npy point files, runs the model, prints detections; --vis_dir
+renders BEV PNGs via matplotlib (open3d/mayavi are absent in this env —
 via open3d/mayavi is not available in this environment; results can be dumped
 to .pkl with --out_file).
 """
@@ -67,6 +68,8 @@ def main():
     parser.add_argument("--ckpt_dir", type=str, default=None)
     parser.add_argument("--ext", type=str, default=".bin")
     parser.add_argument("--out_file", type=str, default=None)
+    parser.add_argument("--vis_dir", type=str, default=None,
+                        help="write a BEV PNG per frame (matplotlib)")
     args = parser.parse_args()
 
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -110,6 +113,18 @@ def main():
             "labels": np.asarray(out["final_labels"][0])[mask],
         }
         results.append(det)
+        if args.vis_dir:
+            from mssvt_tpu.utils.visualize import draw_bev_scene
+
+            Path(args.vis_dir).mkdir(parents=True, exist_ok=True)
+            pts = np.asarray(batch["points"])[:, 1:] if "points" in batch \
+                else np.zeros((0, 4))
+            draw_bev_scene(
+                pts, det_boxes=det["boxes"], det_scores=det["scores"],
+                det_labels=det["labels"], class_names=cfg.CLASS_NAMES,
+                point_range=demo_dataset.point_cloud_range,
+                out_file=str(Path(args.vis_dir) / f"frame_{i:04d}.png"),
+                title=f"frame {i}")
         logger.info(
             f"frame {i}: {mask.sum()} detections "
             f"(top score {det['scores'].max() if len(det['scores']) else 0:.3f})"
