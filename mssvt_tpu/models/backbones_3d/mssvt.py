@@ -259,27 +259,48 @@ class MsSVTBlock(nn.Module):
         k_fea = jnp.concatenate([k_fea1, k_fea2], axis=1) + k_pos
         k_mask = jnp.concatenate([k_mask1, k_mask2], axis=1)  # (NW, 2*nk)
 
-        # --- mixed-scale attention (ref :289-295)
-        attn_fea = self.ms_attn(
-            query=q_fea, keys=k_fea, query_mask=q["mask"], key_masks=k_mask,
-            deterministic=deterministic,
-        )  # (NW, nq, C)
-
-        # --- propagate to all win1 voxels by 3-NN inverse-distance
-        # interpolation (ref :297-310). Parity note: like the reference, the
-        # known set is NOT masked for padded query slots (their coords gather
-        # to zeros); their features are query-masked to ~0, so they dilute but
-        # do not corrupt.
-        if self.use_feature_interpolation:
-            d2, idx3 = three_nn_planes(
-                win1_m[0], win1_m[1], win1_m[2], q_m[0], q_m[1], q_m[2])
-            d2 = jnp.clip(d2, 1e-10, None)
-            w = 1.0 / d2
-            w = w / jnp.sum(w, axis=-1, keepdims=True)
-            win1_fea = three_interpolate(attn_fea, idx3, w)  # (NW, n1, C)
-            upd_ind, upd_fea = win1b["ind"], win1_fea
+        # --- mixed-scale attention (ref :289-295), with the 3-NN inverse-
+        # distance propagation to all win1 voxels (ref :297-310) fused into
+        # the kernel epilogue on the TPU fast path: the (NW, nq, C) attention
+        # output, (NW, n1, nq) distance matrix, and interpolation matrix
+        # never hit HBM. Parity note: like the reference, the known set is
+        # NOT masked for padded query slots (their coords gather to zeros);
+        # their features are query-masked to ~0, so they dilute but do not
+        # corrupt.
+        # Measured e2e (batch-4 A/B, 2026-08-17): the fused epilogue LOSES
+        # ~5-15 ms/frame — the in-kernel W3 build (3x min/where sweeps over
+        # (wb, n1, nq) f32) serializes into the kernel's critical path,
+        # whereas XLA overlaps the unfused three_nn/three_interpolate chain
+        # with neighboring work. Default off; env-gated for future A/B.
+        fuse_interp = (self.use_feature_interpolation
+                       and os.environ.get("MSSVT_FUSE_INTERP", "off") == "on"
+                       and _use_fused_kernel(
+                           nq, deterministic, dropout=self.dropout))
+        if fuse_interp:
+            q_keep = (~q["mask"]).astype(jnp.float32)
+            upd_fea = self.ms_attn(
+                query=q_fea, keys=k_fea, query_mask=q["mask"],
+                key_masks=k_mask, deterministic=deterministic,
+                interp_planes=(win1_m[0], win1_m[1], win1_m[2],
+                               q_m[0], q_m[1], q_m[2], q_keep),
+                interp_n1=win1b["ind"].shape[1],
+            )  # (NW, n1, C)
+            upd_ind = win1b["ind"]
         else:
-            upd_ind, upd_fea = q["ind"], attn_fea
+            attn_fea = self.ms_attn(
+                query=q_fea, keys=k_fea, query_mask=q["mask"],
+                key_masks=k_mask, deterministic=deterministic,
+            )  # (NW, nq, C)
+            if self.use_feature_interpolation:
+                d2, idx3 = three_nn_planes(
+                    win1_m[0], win1_m[1], win1_m[2], q_m[0], q_m[1], q_m[2])
+                d2 = jnp.clip(d2, 1e-10, None)
+                w = 1.0 / d2
+                w = w / jnp.sum(w, axis=-1, keepdims=True)
+                win1_fea = three_interpolate(attn_fea, idx3, w)  # (NW, n1, C)
+                upd_ind, upd_fea = win1b["ind"], win1_fea
+            else:
+                upd_ind, upd_fea = q["ind"], attn_fea
 
         # --- write back (replaces the per-batch loop, ref :313-336). Base
         # is the ORIGINAL features (ref clones sp_tensor.features, :317).

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.pallas_attention import fused_window_attention
+from ...ops.pallas_attention import (
+    fused_window_attention, fused_window_attention_interp)
 
 KEY_PAD_NEG = -100.0
 
@@ -68,6 +69,9 @@ class MixedScaleAttention(nn.Module):
         query_mask: Optional[jnp.ndarray] = None,  # (b, nq) True = PAD
         key_masks: Optional[jnp.ndarray] = None,  # (b, tot_nk) True = PAD
         deterministic: bool = True,
+        interp_planes: Optional[tuple] = None,  # (wmx,wmy,wmz (b,n1),
+                                                #  qmx,qmy,qmz,q_keep (b,nq))
+        interp_n1: Optional[int] = None,
     ) -> jnp.ndarray:
         b, nq, _ = query.shape
         _, tot_nk, _ = keys.shape
@@ -124,6 +128,18 @@ class MixedScaleAttention(nn.Module):
                 bias = jnp.where(key_masks, KEY_PAD_NEG, 0.0).astype(jnp.float32)
             else:
                 bias = jnp.zeros((b, tot_nk), jnp.float32)
+            if interp_planes is not None:
+                # fused 3-NN interpolation epilogue: returns (b, n1, C) win1
+                # slot features; the query mask rides in via q_keep (folded
+                # into the interpolation matrix inside the kernel)
+                return fused_window_attention_interp(
+                    query, keys, (wq, bq, wk, bk, wv, bv, wp, bp), bias,
+                    tuple(interp_planes),
+                    num_heads=tuple(self.num_heads), scale=scale,
+                    n1=int(interp_n1),
+                    interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
+                    compute_dtype=self.dtype,
+                )
             out = fused_window_attention(
                 query, keys, (wq, bq, wk, bk, wv, bv, wp, bp), bias,
                 num_heads=tuple(self.num_heads), scale=scale,
@@ -136,6 +152,8 @@ class MixedScaleAttention(nn.Module):
                 out = out * (~query_mask)[..., None].astype(out.dtype)
             return out
 
+        assert interp_planes is None, \
+            "interp fusion is only available on the fused-kernel path"
         outs = []
         start = 0
         for i, h in enumerate(self.num_heads):

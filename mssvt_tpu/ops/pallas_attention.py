@@ -69,8 +69,57 @@ import os as _os
 #           32-wide lane slices force Mosaic relayouts and K=32 MXU passes)
 #   mask  — per-head channel-MASKED full-width dots (full-width operands,
 #           K=128 contraction, mask is free VPU)
+#   b3d   — BATCHED per-window dots: the window axis stays a dot_general
+#           batch dim, so scores are exactly (WB, nq, nk_tot) instead of the
+#           flat-slab (WB*nq, WB*nk_tot) whose off-diagonal 1-1/WB fraction
+#           is pure masked waste in both MXU MACs and VPU softmax area
+#           (the waste is why wb=16 regressed in the flat form)
 # Selected once at import; override with MSSVT_ATTN_VARIANT for A/B runs.
-ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "mask")
+ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "b3d")
+# Supertile width override for A/B runs (0 = use the call-site default).
+ATTN_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0"))
+
+
+def _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale, bf):
+    """Batched-window fwd core: scores via batch-dim dot_general.
+
+    q/k/v arrive as flat (WB*n, D) slabs; reshaped (sublane-split only, no
+    relayout) to (WB, n, D). Per head t the full-width channel-masked dot
+    runs with the window axis as the MXU batch dim — per-window (nq, nk_tot)
+    scores, softmax over the 64-lane key axis, no cross-window columns.
+
+    Returns (o (WB*nq, D) f32, per-head cache [(a3, None)] for bwd reuse).
+    """
+    d = q.shape[1]
+    tot_heads = sum(num_heads)
+    ph = d // tot_heads
+    nk = nk_tot // len(num_heads)
+    key_block = []
+    for g, h in enumerate(num_heads):
+        key_block += [g] * h
+    q3 = q.reshape(wb, nq, d)
+    k3 = k.reshape(wb, nk_tot, d)
+    v3 = v.reshape(wb, nk_tot, d)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    kg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nk_tot), 2) // nk
+    o_sum = None
+    cache = []
+    for t, g in enumerate(key_block):
+        mh = ((lane >= t * ph) & (lane < (t + 1) * ph)).astype(bf)
+        s = jax.lax.dot_general(
+            q3 * mh, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (WB, nq, nk_tot)
+        valid = kg == g
+        s = jnp.where(valid, s * scale + bias3, -1e9)
+        e = jnp.exp(s - jnp.max(s, axis=2, keepdims=True))
+        a = e / (jnp.sum(e, axis=2, keepdims=True) + 1e-30)
+        ot = jax.lax.dot_general(
+            a.astype(bf), v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (WB, nq, D)
+        ot = jnp.where((lane >= t * ph) & (lane < (t + 1) * ph), ot, 0.0)
+        o_sum = ot if o_sum is None else o_sum + ot
+        cache.append((a, valid))
+    return o_sum.reshape(wb * nq, d), cache
 
 
 def _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot, scale, bf):
@@ -128,8 +177,41 @@ def _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot, scale, bf):
     return o, cache
 
 
-def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, o_ref, *,
-                 num_heads, nq, nk_tot, scale, out_dtype, compute_dtype):
+def _interp_w3(plane_refs, wb, nq, n1):
+    """Build the 3-NN inverse-distance interpolation matrix in VMEM.
+
+    ``plane_refs`` = (wmx, wmy, wmz (wb, n1), qmx, qmy, qmz, qkeep (wb, nq)).
+    Mirrors ``three_nn_planes`` (ops/sampling.py:118-149) exactly — same
+    ``u2 + k2 - 2*cross`` distance formulation and same first-min tie-break —
+    then folds the 3 picks + inverse-distance weights + query-mask into one
+    dense row-stochastic (wb, n1, nq) matrix (≡ ``three_interpolate``'s
+    dense-matrix form, ops/sampling.py:327-339).
+    """
+    wmx, wmy, wmz, qmx, qmy, qmz, qkeep = (r[:] for r in plane_refs)
+    u2 = (wmx * wmx + wmy * wmy + wmz * wmz)[:, :, None]  # (wb, n1, 1)
+    k2 = (qmx * qmx + qmy * qmy + qmz * qmz)[:, None, :]  # (wb, 1, nq)
+    cross = (wmx[:, :, None] * qmx[:, None, :]
+             + wmy[:, :, None] * qmy[:, None, :]
+             + wmz[:, :, None] * qmz[:, None, :])
+    work = jnp.maximum(u2 + k2 - 2.0 * cross, 0.0)  # (wb, n1, nq)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (wb, n1, nq), 2)
+    w3 = jnp.zeros((wb, n1, nq), jnp.float32)
+    wsum = jnp.zeros((wb, n1, 1), jnp.float32)
+    for _ in range(3):
+        dm = jnp.min(work, axis=2, keepdims=True)
+        ismin = work <= dm
+        jm = jnp.min(jnp.where(ismin, lane, nq), axis=2, keepdims=True)
+        first = lane == jm  # first-occurrence one-hot (argmin tie-break)
+        wgt = 1.0 / jnp.clip(dm, 1e-10, None)
+        w3 = w3 + jnp.where(first, wgt, 0.0)
+        wsum = wsum + wgt
+        work = jnp.where(first, 1e38, work)
+    return w3 / wsum * qkeep[:, None, :]
+
+
+def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
+                 num_heads, wb, nq, nk_tot, scale, out_dtype, compute_dtype,
+                 interp_n1=None):
     bf = compute_dtype
     wq, wk, wv, wp = (w_ref[i] for i in range(4))  # (D, D) each
     bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))  # (1, D)
@@ -142,11 +224,29 @@ def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, o_ref, *,
     v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
          + bv).astype(bf)
 
-    bias_row = bias_ref[0, 0:1].astype(jnp.float32)  # (1, WB*nk_tot)
-    o, _ = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
-                          float(scale), bf)
+    if ATTN_VARIANT == "b3d":
+        bias3 = bias_ref[:][:, None, :].astype(jnp.float32)  # (WB, 1, nk_tot)
+        o, _ = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot,
+                                  float(scale), bf)
+    else:
+        bias_row = bias_ref[0, 0:1].astype(jnp.float32)  # (1, WB*nk_tot)
+        o, _ = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
+                              float(scale), bf)
     o = jax.lax.dot(o.astype(bf), wp, preferred_element_type=jnp.float32) + bp
-    o_ref[:] = o.astype(out_dtype)
+
+    if interp_n1 is None:
+        o_ref = rest[-1]
+        o_ref[:] = o.astype(out_dtype)
+        return
+    # fused 3-NN interpolation epilogue: out[s] = sum_j W3[s, j] * o[j]
+    plane_refs, o_ref = rest[:-1], rest[-1]
+    n1 = interp_n1
+    w3 = _interp_w3(plane_refs, wb, nq, n1)
+    o3 = o.astype(bf).reshape(wb, nq, o.shape[1])
+    wf = jax.lax.dot_general(
+        w3.astype(bf), o3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, n1, D)
+    o_ref[:] = wf.reshape(wb * n1, o.shape[1]).astype(out_dtype)
 
 
 @functools.partial(
@@ -162,7 +262,8 @@ def fused_window_attention(
     key_bias: jnp.ndarray,  # (NW, nk_tot) additive (e.g. -100 where padded)
     num_heads: Tuple[int, ...],
     scale: float,
-    window_block: int = 8,  # microbenched: 10.65ms vs 12.5 (wb=4) / 13.4 (16)
+    window_block: int = 32,  # b3d@32: 3.6ms vs flat-mask@8: 8.9ms (same-
+                             # session A/B; flat form regressed beyond wb=8)
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
@@ -182,7 +283,7 @@ def fused_window_attention(
     zero cotangent (it is a mask, produced from boolean inputs)."""
     return _fused_attention(query, keys, tuple(proj), key_bias,
                             tuple(num_heads), float(scale),
-                            int(window_block), bool(interpret),
+                            int(ATTN_WB or window_block), bool(interpret),
                             compute_dtype)
 
 
@@ -238,13 +339,17 @@ def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype):
     bvec = jnp.stack([bq, bk, bv, bp]).astype(bf)   # (4, D)
     bvec = jnp.pad(bvec, ((0, 4), (0, 0)))          # (8, D) sublane tile
 
-    # (G, 8, wb*nk_tot) with the real per-key bias in sublane row 0: a
-    # (1, 1, N) block spec is legal but made Mosaic compile time explode
-    # with the grid size (~6.5 min at 6000 steps); an (8, N)-tiled trailing
-    # block compiles in seconds. Rows 1..7 are never read.
-    bias2 = jnp.zeros((nwp // wb, 8, wb * nk_tot), jnp.float32).at[
-        :, 0, :].set(
-        key_bias.astype(jnp.float32).reshape(nwp // wb, wb * nk_tot))
+    if ATTN_VARIANT == "b3d":
+        # batched form reads the bias as (wb, nk_tot) sublane-tiled rows
+        bias2 = key_bias.astype(jnp.float32).reshape(nwp, nk_tot)
+    else:
+        # (G, 8, wb*nk_tot) with the real per-key bias in sublane row 0: a
+        # (1, 1, N) block spec is legal but made Mosaic compile time explode
+        # with the grid size (~6.5 min at 6000 steps); an (8, N)-tiled
+        # trailing block compiles in seconds. Rows 1..7 are never read.
+        bias2 = jnp.zeros((nwp // wb, 8, wb * nk_tot), jnp.float32).at[
+            :, 0, :].set(
+            key_bias.astype(jnp.float32).reshape(nwp // wb, wb * nk_tot))
 
     dims = dict(nw=nw, nwp=nwp, nq=nq, d=d, nk_tot=nk_tot, nt=nt,
                 tot_heads=tot_heads)
@@ -252,13 +357,18 @@ def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype):
 
 
 def _common_specs(wb, nq, nk_tot, d):
+    if ATTN_VARIANT == "b3d":
+        bias_spec = pl.BlockSpec((wb, nk_tot), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec((1, 8, wb * nk_tot), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
     return [
         pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((wb * nk_tot, d), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, wb * nk_tot), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        bias_spec,
         pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((8, d), lambda i: (0, 0),
@@ -266,33 +376,55 @@ def _common_specs(wb, nq, nk_tot, d):
     ]
 
 
+def _pad_planes(planes, nw, nwp):
+    pad = nwp - nw
+    if not pad:
+        return tuple(p.astype(jnp.float32) for p in planes)
+    return tuple(jnp.pad(p.astype(jnp.float32), ((0, pad), (0, 0)))
+                 for p in planes)
+
+
+def _plane_specs(wb, nq, n1):
+    sizes = (n1, n1, n1, nq, nq, nq, nq)
+    return [pl.BlockSpec((wb, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for s in sizes]
+
+
 def _fused_attention_fwd_impl(query, keys, proj, key_bias, num_heads, scale,
-                              window_block, interpret, compute_dtype):
+                              window_block, interpret, compute_dtype,
+                              planes=None, n1=None):
     wb = window_block
     q2, k2, bias2, wmats, bvec, dm = _prep_inputs(
         query, keys, key_bias, proj, num_heads, wb, compute_dtype)
     nwp, nq, d = dm["nwp"], dm["nq"], dm["d"]
 
     kernel = functools.partial(
-        _attn_kernel, num_heads=tuple(num_heads), nq=nq,
+        _attn_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
         nk_tot=dm["nk_tot"], scale=float(scale),
         out_dtype=query.dtype, compute_dtype=compute_dtype,
+        interp_n1=n1,
     )
+    in_specs = _common_specs(wb, nq, dm["nk_tot"], d)
+    args = [q2, k2, bias2, wmats, bvec]
+    out_rows = nq if n1 is None else n1
+    if n1 is not None:
+        in_specs += _plane_specs(wb, nq, n1)
+        args += list(_pad_planes(planes, dm["nw"], nwp))
     out = pl.pallas_call(
         kernel,
         grid=(nwp // wb,),
-        in_specs=_common_specs(wb, nq, dm["nk_tot"], d),
-        out_specs=pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wb * out_rows, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwp * nq, d), query.dtype),
+        out_shape=jax.ShapeDtypeStruct((nwp * out_rows, d), query.dtype),
         interpret=interpret,
-    )(q2, k2, bias2, wmats, bvec)
-    return out.reshape(nwp, nq, d)[:dm["nw"]]
+    )(*args)
+    return out.reshape(nwp, out_rows, d)[:dm["nw"]]
 
 
-def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, g_ref,
-                     dq_ref, dk_ref, dw_ref, db_ref, *,
-                     num_heads, nq, nk_tot, scale, compute_dtype):
+def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
+                     num_heads, wb, nq, nk_tot, scale, compute_dtype,
+                     interp_n1=None):
     """Mirror of ``_attn_kernel``: recompute the attention in VMEM, then run
     the chain rule backwards (per head, channel-sliced like the forward).
     Weight/bias grads accumulate across the sequential TPU grid into a
@@ -309,11 +441,33 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, g_ref,
          + bk).astype(bf)
     v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
          + bv).astype(bf)
-    bias_row = bias_ref[0, 0:1].astype(jnp.float32)
-    o1, cache = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
-                               float(scale), bf)
+    if interp_n1 is None:
+        g_ref, dq_ref, dk_ref, dw_ref, db_ref = rest
+    else:
+        plane_refs = rest[:7]
+        g_ref, dq_ref, dk_ref, dw_ref, db_ref = rest[7:]
 
-    g = g_ref[:].astype(bf)  # (M, D)
+    if ATTN_VARIANT == "b3d":
+        bias3 = bias_ref[:][:, None, :].astype(jnp.float32)
+        o1, cache = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq,
+                                       nk_tot, float(scale), bf)
+    else:
+        bias_row = bias_ref[0, 0:1].astype(jnp.float32)
+        o1, cache = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
+                                   float(scale), bf)
+
+    if interp_n1 is None:
+        g = g_ref[:].astype(bf)  # (M, D)
+    else:
+        # cotangent arrives on the interpolated (wb*n1, D) output; pull it
+        # back through the (nondiff) W3 matrix: g_q = W3^T @ g_n1 per window
+        d_ = q.shape[1]
+        w3 = _interp_w3(plane_refs, wb, nq, interp_n1)
+        g3 = g_ref[:].astype(bf).reshape(wb, interp_n1, d_)
+        g = jax.lax.dot_general(
+            w3.astype(bf), g3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32
+        ).reshape(wb * nq, d_).astype(bf)  # (M, D)
     # output projection
     do1 = jax.lax.dot_general(  # g @ wp^T
         g, wp, (((1,), (1,)), ((), ())),
@@ -326,6 +480,42 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, g_ref,
     # per-head attention backward (same variant dichotomy as the forward)
     tot_heads = sum(num_heads)
     ph = q.shape[1] // tot_heads
+    d_ = q.shape[1]
+    if ATTN_VARIANT == "b3d":
+        # batched chain: cache holds (wb, nq, nk_tot) attention maps
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d_), 2)
+        q3 = q.reshape(wb, nq, d_)
+        k3 = k.reshape(wb, nk_tot, d_)
+        v3 = v.reshape(wb, nk_tot, d_)
+        do3 = do1.reshape(wb, nq, d_)
+        dq_sum = dk_sum = dv_sum = None
+        for t, (a3, _valid) in enumerate(cache):
+            mh = (lane3 >= t * ph) & (lane3 < (t + 1) * ph)
+            do_t = jnp.where(mh, do3, 0).astype(bf)  # (wb, nq, D)
+            da = jax.lax.dot_general(  # do_t @ v^T per window
+                do_t, v3, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (wb, nq, nk_tot)
+            dv_t = jax.lax.dot_general(  # a^T @ do_t per window
+                a3.astype(bf), do_t, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (wb, nk_tot, D)
+            rs = jnp.sum(da * a3, axis=2, keepdims=True)
+            ds = (a3 * (da - rs) * scale).astype(bf)  # (wb, nq, nk_tot)
+            dq_t = jnp.where(mh, jax.lax.dot_general(
+                ds, k3, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32), 0.0)  # (wb, nq, D)
+            dk_t = jax.lax.dot_general(  # ds^T @ (q masked) per window
+                ds, jnp.where(mh, q3, 0).astype(bf),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (wb, nk_tot, D)
+            dq_sum = dq_t if dq_sum is None else dq_sum + dq_t
+            dk_sum = dk_t if dk_sum is None else dk_sum + dk_t
+            dv_sum = dv_t if dv_sum is None else dv_sum + dv_t
+        dq_p = dq_sum.reshape(wb * nq, d_)
+        dk_p = dk_sum.reshape(wb * nk_tot, d_)
+        dv_p = dv_sum.reshape(wb * nk_tot, d_)
+        _finish_bwd(qraw, kraw, q, wq, wk, wv, dq_p, dk_p, dv_p, dwp, dbp,
+                    dq_ref, dk_ref, dw_ref, db_ref, bf)
+        return
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, q.shape[1]), 1)
     dq_parts, dk_parts, dv_parts = [], [], []
     dq_sum = dk_sum = dv_sum = None
@@ -371,7 +561,13 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, g_ref,
         dv_p = jnp.concatenate(dv_parts, axis=1)  # (N, D)
     else:
         dq_p, dk_p, dv_p = dq_sum, dk_sum, dv_sum
-    # projections
+    _finish_bwd(qraw, kraw, q, wq, wk, wv, dq_p, dk_p, dv_p, dwp, dbp,
+                dq_ref, dk_ref, dw_ref, db_ref, bf)
+
+
+def _finish_bwd(qraw, kraw, q, wq, wk, wv, dq_p, dk_p, dv_p, dwp, dbp,
+                dq_ref, dk_ref, dw_ref, db_ref, bf):
+    """Shared bwd tail: projection grads + grid-accumulated weight grads."""
     dq_pb = dq_p.astype(bf)
     dk_pb = dk_p.astype(bf)
     dv_pb = dv_p.astype(bf)
@@ -415,7 +611,8 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, g_ref,
 
 
 def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
-                              scale, window_block, interpret, compute_dtype):
+                              scale, window_block, interpret, compute_dtype,
+                              planes=None, n1=None):
     wb = window_block
     q2, k2, bias2, wmats, bvec, dm = _prep_inputs(
         query, keys, key_bias, proj, num_heads, wb, compute_dtype)
@@ -424,17 +621,24 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
     pad = nwp - nw
     if pad:
         g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
-    g2 = g.reshape(nwp * nq, d)
+    g_rows = nq if n1 is None else n1
+    g2 = g.reshape(nwp * g_rows, d)
 
     kernel = functools.partial(
-        _attn_bwd_kernel, num_heads=tuple(num_heads), nq=nq,
+        _attn_bwd_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
         nk_tot=nk_tot, scale=float(scale), compute_dtype=compute_dtype,
+        interp_n1=n1,
     )
+    extra_specs = []
+    extra_args = []
+    if n1 is not None:
+        extra_specs += _plane_specs(wb, nq, n1)
+        extra_args += list(_pad_planes(planes, nw, nwp))
     dq2, dk2, dw, db = pl.pallas_call(
         kernel,
         grid=(nwp // wb,),
-        in_specs=_common_specs(wb, nq, nk_tot, d) + [
-            pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
+        in_specs=_common_specs(wb, nq, nk_tot, d) + extra_specs + [
+            pl.BlockSpec((wb * g_rows, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -454,7 +658,7 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
             jax.ShapeDtypeStruct((8, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q2, k2, bias2, wmats, bvec, g2)
+    )(q2, k2, bias2, wmats, bvec, *extra_args, g2)
 
     dq = dq2.reshape(nwp, nq, d)[:nw]
     dk = dk2.reshape(nwp, nk_tot, d)[:nw]
@@ -466,3 +670,74 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
         dw[3].astype(wp.dtype), db[3].astype(bp.dtype),
     )
     return dq, dk, dproj
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "scale", "n1", "window_block", "interpret",
+        "compute_dtype",
+    ),
+)
+def fused_window_attention_interp(
+    query: jnp.ndarray,   # (NW, nq, D) RAW (pre-projection)
+    keys: jnp.ndarray,    # (NW, nk_tot, D) RAW
+    proj: Tuple[jnp.ndarray, ...],  # (wq, bq, wk, bk, wv, bv, wp, bp)
+    key_bias: jnp.ndarray,  # (NW, nk_tot) additive (-100 where padded)
+    planes: Tuple[jnp.ndarray, ...],  # wmx,wmy,wmz (NW,n1); qmx,qmy,qmz,
+                                      # q_keep (NW,nq) — all f32, nondiff
+    num_heads: Tuple[int, ...],
+    scale: float,
+    n1: int,
+    window_block: int = 32,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """``fused_window_attention`` + in-kernel 3-NN interpolation epilogue.
+
+    Replaces the block's post-attention ``three_nn_planes`` +
+    ``three_interpolate`` chain (ref: mssvt_backbone.py:300-310): the
+    (wb, n1, nq) inverse-distance matrix is built in VMEM from the metric
+    coordinate planes and applied as one batched MXU matmul, so the
+    (NW, nq, D) attention output, the (NW, n1, nq) weight matrix, and the
+    (NW, n1, nq) distance matrix never exist in HBM. Returns (NW, n1, D) —
+    the updated features of every win1 buffer slot. ``planes`` carry the
+    query-mask (``q_keep``: 1.0 = live query) folded into the matrix, and
+    get zero cotangents (coordinate-derived, nondifferentiable).
+    """
+    return _fused_attention_interp(
+        query, keys, tuple(proj), key_bias, tuple(planes),
+        tuple(num_heads), float(scale), int(n1),
+        int(ATTN_WB or window_block), bool(interpret), compute_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused_attention_interp(query, keys, proj, key_bias, planes, num_heads,
+                            scale, n1, window_block, interpret,
+                            compute_dtype):
+    return _fused_attention_fwd_impl(
+        query, keys, proj, key_bias, num_heads, scale, window_block,
+        interpret, compute_dtype, planes=planes, n1=n1)
+
+
+def _fused_attention_interp_fwd(query, keys, proj, key_bias, planes,
+                                num_heads, scale, n1, window_block,
+                                interpret, compute_dtype):
+    out = _fused_attention_fwd_impl(
+        query, keys, proj, key_bias, num_heads, scale, window_block,
+        interpret, compute_dtype, planes=planes, n1=n1)
+    return out, (query, keys, proj, key_bias, planes)
+
+
+def _fused_attention_interp_bwd(num_heads, scale, n1, window_block,
+                                interpret, compute_dtype, res, g):
+    query, keys, proj, key_bias, planes = res
+    dq, dk, dproj = _fused_attention_bwd_impl(
+        query, keys, proj, key_bias, g, num_heads, scale, window_block,
+        interpret, compute_dtype, planes=planes, n1=n1)
+    return (dq, dk, dproj, jnp.zeros_like(key_bias),
+            tuple(jnp.zeros_like(p) for p in planes))
+
+
+_fused_attention_interp.defvjp(_fused_attention_interp_fwd,
+                               _fused_attention_interp_bwd)
