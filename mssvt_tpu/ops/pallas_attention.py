@@ -78,6 +78,13 @@ import os as _os
 ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "b3d")
 # Supertile width override for A/B runs (0 = use the call-site default).
 ATTN_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0"))
+# The backward kernel picks its own (variant, supertile) point: b3d@32 wins
+# the forward (3.6 vs 8.9 ms microbench; -8 ms e2e) but REGRESSED the full
+# train step 2557 -> 3076 ms (the recompute-in-VMEM backward holds per-head
+# (WB, nq, nk_tot) f32 attention maps — at WB=32 the working set crowds VMEM
+# and stalls the pipeline), so the backward stays on the flat mask form @ 8.
+ATTN_BWD_VARIANT = _os.environ.get("MSSVT_ATTN_BWD_VARIANT", "mask")
+ATTN_BWD_WB = int(_os.environ.get("MSSVT_ATTN_BWD_WB", "8"))
 
 
 def _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale, bf):
@@ -211,7 +218,7 @@ def _interp_w3(plane_refs, wb, nq, n1):
 
 def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
                  num_heads, wb, nq, nk_tot, scale, out_dtype, compute_dtype,
-                 interp_n1=None):
+                 variant, interp_n1=None):
     bf = compute_dtype
     wq, wk, wv, wp = (w_ref[i] for i in range(4))  # (D, D) each
     bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))  # (1, D)
@@ -224,7 +231,7 @@ def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
     v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
          + bv).astype(bf)
 
-    if ATTN_VARIANT == "b3d":
+    if variant == "b3d":
         bias3 = bias_ref[:][:, None, :].astype(jnp.float32)  # (WB, 1, nk_tot)
         o, _ = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot,
                                   float(scale), bf)
@@ -315,7 +322,8 @@ def _fused_attention_bwd(num_heads, scale, window_block, interpret,
 _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
-def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype):
+def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype,
+                 variant):
     """Shared fwd/bwd preprocessing: pad to the supertile, flatten to 2D
     slabs, expand bias to per-head columns, stack projection weights."""
     nw, nq, d = query.shape
@@ -339,7 +347,7 @@ def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype):
     bvec = jnp.stack([bq, bk, bv, bp]).astype(bf)   # (4, D)
     bvec = jnp.pad(bvec, ((0, 4), (0, 0)))          # (8, D) sublane tile
 
-    if ATTN_VARIANT == "b3d":
+    if variant == "b3d":
         # batched form reads the bias as (wb, nk_tot) sublane-tiled rows
         bias2 = key_bias.astype(jnp.float32).reshape(nwp, nk_tot)
     else:
@@ -356,8 +364,8 @@ def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype):
     return q2, k2, bias2, wmats, bvec, dims
 
 
-def _common_specs(wb, nq, nk_tot, d):
-    if ATTN_VARIANT == "b3d":
+def _common_specs(wb, nq, nk_tot, d, variant):
+    if variant == "b3d":
         bias_spec = pl.BlockSpec((wb, nk_tot), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     else:
@@ -394,17 +402,18 @@ def _fused_attention_fwd_impl(query, keys, proj, key_bias, num_heads, scale,
                               window_block, interpret, compute_dtype,
                               planes=None, n1=None):
     wb = window_block
+    variant = ATTN_VARIANT
     q2, k2, bias2, wmats, bvec, dm = _prep_inputs(
-        query, keys, key_bias, proj, num_heads, wb, compute_dtype)
+        query, keys, key_bias, proj, num_heads, wb, compute_dtype, variant)
     nwp, nq, d = dm["nwp"], dm["nq"], dm["d"]
 
     kernel = functools.partial(
         _attn_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
         nk_tot=dm["nk_tot"], scale=float(scale),
         out_dtype=query.dtype, compute_dtype=compute_dtype,
-        interp_n1=n1,
+        variant=variant, interp_n1=n1,
     )
-    in_specs = _common_specs(wb, nq, dm["nk_tot"], d)
+    in_specs = _common_specs(wb, nq, dm["nk_tot"], d, variant)
     args = [q2, k2, bias2, wmats, bvec]
     out_rows = nq if n1 is None else n1
     if n1 is not None:
@@ -424,7 +433,7 @@ def _fused_attention_fwd_impl(query, keys, proj, key_bias, num_heads, scale,
 
 def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
                      num_heads, wb, nq, nk_tot, scale, compute_dtype,
-                     interp_n1=None):
+                     variant, interp_n1=None):
     """Mirror of ``_attn_kernel``: recompute the attention in VMEM, then run
     the chain rule backwards (per head, channel-sliced like the forward).
     Weight/bias grads accumulate across the sequential TPU grid into a
@@ -447,7 +456,7 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
         plane_refs = rest[:7]
         g_ref, dq_ref, dk_ref, dw_ref, db_ref = rest[7:]
 
-    if ATTN_VARIANT == "b3d":
+    if variant == "b3d":
         bias3 = bias_ref[:][:, None, :].astype(jnp.float32)
         o1, cache = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq,
                                        nk_tot, float(scale), bf)
@@ -481,7 +490,7 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
     tot_heads = sum(num_heads)
     ph = q.shape[1] // tot_heads
     d_ = q.shape[1]
-    if ATTN_VARIANT == "b3d":
+    if variant == "b3d":
         # batched chain: cache holds (wb, nq, nk_tot) attention maps
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d_), 2)
         q3 = q.reshape(wb, nq, d_)
@@ -613,9 +622,13 @@ def _finish_bwd(qraw, kraw, q, wq, wk, wv, dq_p, dk_p, dv_p, dwp, dbp,
 def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
                               scale, window_block, interpret, compute_dtype,
                               planes=None, n1=None):
-    wb = window_block
+    # the backward picks its own supertile/variant point (see ATTN_BWD_*);
+    # it re-preps all inputs from the VJP residuals so this is independent
+    # of the forward's window_block
+    wb = ATTN_BWD_WB or window_block
+    variant = ATTN_BWD_VARIANT
     q2, k2, bias2, wmats, bvec, dm = _prep_inputs(
-        query, keys, key_bias, proj, num_heads, wb, compute_dtype)
+        query, keys, key_bias, proj, num_heads, wb, compute_dtype, variant)
     nw, nwp, nq, d = dm["nw"], dm["nwp"], dm["nq"], dm["d"]
     nk_tot = dm["nk_tot"]
     pad = nwp - nw
@@ -627,7 +640,7 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
     kernel = functools.partial(
         _attn_bwd_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
         nk_tot=nk_tot, scale=float(scale), compute_dtype=compute_dtype,
-        interp_n1=n1,
+        variant=variant, interp_n1=n1,
     )
     extra_specs = []
     extra_args = []
@@ -637,7 +650,7 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
     dq2, dk2, dw, db = pl.pallas_call(
         kernel,
         grid=(nwp // wb,),
-        in_specs=_common_specs(wb, nq, nk_tot, d) + extra_specs + [
+        in_specs=_common_specs(wb, nq, nk_tot, d, variant) + extra_specs + [
             pl.BlockSpec((wb * g_rows, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
