@@ -35,14 +35,13 @@ import os
 from ...core.sparse import SparseVoxels
 from ...ops.pallas_ffn import fused_residual_ffn
 from ...ops.pallas_fill import PACK5_ZERO
+from ...ops.pallas_interp import interp_win1_pallas
 from ...ops.sampling import (
     farthest_point_sample,
     farthest_point_sample_planes,
     gather_along_batch,
     group_features,
-    three_interpolate,
-    three_nn,
-    three_nn_planes,
+    three_interp_weights_planes,
 )
 from ...ops.window import build_query_tables, gather_window_voxels, window_partition
 
@@ -77,6 +76,31 @@ def _writeback_inverse(upd_fea, inv, shortcut):
     rows = jnp.take(upd_fea.reshape(-1, c), pos, axis=0)
     return jnp.where(inv["valid"][:, None],
                      rows.astype(shortcut.dtype), shortcut)
+
+
+def _scatter_win1_features(x, inv, nw, cap_s):
+    """Build the (NW, cap_s, C) win1-region feature buffer by SCATTERING.
+
+    Equivalent to ``group_features`` over the win1 gather buffer (padded to
+    ``cap_s`` slots) but issues V row descriptors (one per voxel, via the
+    voxel→(window, slot) inverse map) instead of NW*cap_s row gathers —
+    ~12x fewer at Waymo block-1 scale where the buffers are ~75% padding.
+    ``cap_s`` may exceed the win1 attention capacity so even-parity query
+    runs (which start at the window's odd count) stay inside the buffer.
+    Module-level so ablations can stub it.
+    """
+    v, c = x.shape
+    ok = inv["valid_base"] & (inv["slot"] < cap_s)
+    pos = jnp.where(
+        ok,
+        inv["win_row"] * cap_s + inv["slot"],
+        nw * cap_s + jnp.arange(v, dtype=jnp.int32),  # distinct OOB → dropped
+    )
+    return (
+        jnp.zeros((nw * cap_s, c), x.dtype)
+        .at[pos].set(x, mode="drop", unique_indices=True)
+        .reshape(nw, cap_s, c)
+    )
 
 
 def _fps_keys(ind, coord, key_num_sample):
@@ -121,6 +145,11 @@ class MsSVTBlock(nn.Module):
         # default capacities = full window volume (ref :65-68)
         self.cap1 = int(np.prod(self.win1)) if self.max_num_win1 is None else self.max_num_win1
         self.cap2 = int(np.prod(self.win2)) if self.max_num_win2 is None else self.max_num_win2
+        # scatter-built win1-region buffer spans the full win1 table (so the
+        # even-parity query run never falls off the end), capped by the win2
+        # fill capacity (slots are win2-fill ranks)
+        k1_total = int(self.tables.eligibility[:, 2].sum())  # WIN1 column
+        self.cap_scatter = min(k1_total, self.cap2)
 
         self.norm1 = nn.LayerNorm(dtype=self.dtype)
         self.norm2 = nn.LayerNorm(dtype=self.dtype)
@@ -189,17 +218,43 @@ class MsSVTBlock(nn.Module):
         fps1, fps2 = jnp.minimum(fps[:nw], n1 - 1), fps[nw:]
 
         # --- feature gathers (ref :260-268). Row gathers are index-rate
-        # bound on TPU, so: win1 keys reuse the window's own buffer via a
-        # LOCAL take_along_axis (fps indices address the buffer), and all
+        # bound on TPU, so: the win1-region buffer is built by SCATTERING the
+        # V voxel rows through the voxel→(window, slot) inverse map (~12x
+        # fewer descriptors than gathering NW*cap mostly-padded slots), win1
+        # keys reuse that buffer via a LOCAL take_along_axis (fps indices
+        # address the buffer), queries slice/gather it locally too, and all
         # metric coordinates are derived arithmetically from the gather
         # buffers' integer offsets — no voxel-table gather at all.
-        win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
+        inv = g.get("inv_win1") if self.use_feature_interpolation else None
         nq = q["ind"].shape[1]
-        if q_name == "odd" and nq <= win1_fea.shape[1]:
+        n1_cap = win1b["ind"].shape[1]
+        use_scatter = (
+            inv is not None and "valid_base" in inv
+            and os.environ.get("MSSVT_WIN1_SCATTER", "on") != "off"
+            and n1_cap <= self.cap_scatter
+        )
+        if use_scatter:
+            scat = _scatter_win1_features(
+                x, inv, win1b["ind"].shape[0], self.cap_scatter)
+            win1_fea = scat[:, :n1_cap]
+        else:
+            scat = None
+            win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
+        if q_name in ("odd", "win1") and nq <= win1_fea.shape[1]:
             # odd-table offsets occupy the FIRST table positions, so the odd
-            # buffer is an exact prefix of the win1 buffer — reuse the
-            # already-gathered rows instead of a second global gather
+            # buffer is an exact prefix of the win1 buffer (and the win1
+            # buffer is trivially its own prefix) — reuse the already-built
+            # rows instead of a second global gather
             q_fea = win1_fea[:, :nq] * (~q["mask"])[..., None]
+        elif q_name == "even" and scat is not None and "start" in g["even"]:
+            # even-table offsets follow the odd ones, so the even buffer is
+            # the win1-region run starting at the window's odd count — a
+            # LOCAL gather from the scattered buffer (one-hot einsum, ~free)
+            sel = jnp.minimum(
+                g["even"]["start"][:, None]
+                + jnp.arange(nq, dtype=jnp.int32)[None],
+                self.cap_scatter - 1)
+            q_fea = gather_along_batch(scat, sel) * (~q["mask"])[..., None]
         else:
             q_fea = group_features(x, q["ind"])  # (NW, nq, C)
         k_fea1 = gather_along_batch(win1_fea, fps1) * (~k_mask1)[..., None]
@@ -292,12 +347,31 @@ class MsSVTBlock(nn.Module):
                 key_masks=k_mask, deterministic=deterministic,
             )  # (NW, nq, C)
             if self.use_feature_interpolation:
-                d2, idx3 = three_nn_planes(
-                    win1_m[0], win1_m[1], win1_m[2], q_m[0], q_m[1], q_m[2])
-                d2 = jnp.clip(d2, 1e-10, None)
-                w = 1.0 / d2
-                w = w / jnp.sum(w, axis=-1, keepdims=True)
-                win1_fea = three_interpolate(attn_fea, idx3, w)  # (NW, n1, C)
+                interp_mode = os.environ.get("MSSVT_INTERP", "xla")
+                use_pallas_interp = (
+                    interp_mode in ("pallas", "interpret")
+                    and _use_fused_kernel(nq, deterministic,
+                                          dropout=self.dropout))
+                if use_pallas_interp:
+                    # single-pass kernel: W3 built in VMEM + one batched
+                    # matmul; the (NW, n1, nq) matrices never hit HBM
+                    q_keep = (~q["mask"]).astype(jnp.float32)
+                    win1_fea = interp_win1_pallas(
+                        attn_fea,
+                        (win1_m[0], win1_m[1], win1_m[2],
+                         q_m[0], q_m[1], q_m[2], q_keep),
+                        win1b["ind"].shape[1],
+                        interpret=(interp_mode == "interpret"),
+                        compute_dtype=self.dtype)
+                else:
+                    # dense W3 form: one (NW, n1, nq) matrix + one batched
+                    # matmul (vs the three_nn idx/weight + one-hot chain)
+                    w3 = three_interp_weights_planes(
+                        win1_m[0], win1_m[1], win1_m[2],
+                        q_m[0], q_m[1], q_m[2])
+                    win1_fea = jnp.einsum(
+                        "bnm,bmc->bnc", w3.astype(attn_fea.dtype), attn_fea,
+                        preferred_element_type=attn_fea.dtype)  # (NW, n1, C)
                 upd_ind, upd_fea = win1b["ind"], win1_fea
             else:
                 upd_ind, upd_fea = q["ind"], attn_fea
@@ -308,7 +382,6 @@ class MsSVTBlock(nn.Module):
         # from (window, slot) (V row-descriptors instead of NW*cap scatter
         # descriptors, ~4x fewer at Waymo scale). Fallback: unique-index
         # scatter (each voxel appears at most once across the buffers).
-        inv = g.get("inv_win1") if self.use_feature_interpolation else None
         if inv is not None:
             updated = _writeback_inverse(upd_fea, inv, shortcut)
         else:

@@ -149,6 +149,42 @@ def three_nn_planes(ux, uy, uz, kx, ky, kz):
     return -neg, idx.astype(jnp.int32)
 
 
+def three_interp_weights_planes(ux, uy, uz, kx, ky, kz):
+    """Dense 3-NN inverse-distance interpolation matrix from planes.
+
+    Fuses :func:`three_nn_planes` + the weight normalization +
+    :func:`three_interpolate`'s one-hot expansion into one (B, n, m)
+    row-sparse matrix W (rows sum to 1 over the 3 picked columns), so the
+    caller's whole interpolation is ``W @ features``. Avoids materializing
+    both the (B, n, 3, m) one-hot and the separate idx/weight tensors —
+    the picks fold into the argmin sweeps directly. Same distance form and
+    first-min tie-break as ``three_nn_planes``.
+    """
+    u2 = ux * ux + uy * uy + uz * uz  # (B, n)
+    k2 = kx * kx + ky * ky + kz * kz  # (B, m)
+    cross = (
+        jnp.einsum("bn,bm->bnm", ux, kx, preferred_element_type=jnp.float32)
+        + jnp.einsum("bn,bm->bnm", uy, ky, preferred_element_type=jnp.float32)
+        + jnp.einsum("bn,bm->bnm", uz, kz, preferred_element_type=jnp.float32)
+    )
+    d2 = jnp.maximum(u2[:, :, None] + k2[:, None, :] - 2.0 * cross, 0.0)
+    m = kx.shape[1]
+    k_eff = min(3, m)
+    work = d2
+    lane = jnp.arange(m)
+    w3 = jnp.zeros_like(d2)
+    wsum = jnp.zeros(d2.shape[:2] + (1,), d2.dtype)
+    for _ in range(k_eff):
+        d_k = jnp.min(work, axis=-1, keepdims=True)  # (B, n, 1)
+        i_k = jnp.argmin(work, axis=-1)[..., None]  # ties → lowest index
+        first = lane == i_k
+        wgt = 1.0 / jnp.clip(d_k, 1e-10, None)
+        w3 = w3 + jnp.where(first, wgt, 0.0)
+        wsum = wsum + wgt
+        work = jnp.where(first, jnp.inf, work)
+    return w3 / wsum
+
+
 def farthest_point_sample_masked(xyz: jnp.ndarray, valid: jnp.ndarray,
                                  npoint: int) -> jnp.ndarray:
     """FPS that never selects invalid rows (until valid ones run out).

@@ -283,7 +283,7 @@ def _derive_from_win2(ind2, coord2, coordp2, odd_cnt, even_cnt, win1_cnt,
             coordp = jnp.where(
                 live, jnp.take_along_axis(coordp2, pos, axis=1), PACK5_ZERO)
             out[name] = {"ind": ind, "coord": coord, "coordp": coordp,
-                         "mask": ind < 0}
+                         "mask": ind < 0, "start": odd_cnt}
     return out
 
 
@@ -398,10 +398,14 @@ def _gather_via_own_cells(
         rank = jnp.dot(occf, lt, preferred_element_type=jnp.float32)
         flat = jnp.clip(win_row_v, 0) * k_total + jnp.clip(k_own, 0)
         slot_v = rank.reshape(-1)[flat].astype(jnp.int32)
-        inv_valid = (valid & (win_row_v >= 0) & (k_own >= 0)
-                     & (slot_v < min(cap1, cap2)))
+        base_valid = valid & (win_row_v >= 0) & (k_own >= 0)
+        inv_valid = base_valid & (slot_v < min(cap1, cap2))
+        # ``valid`` caps at the win1 buffer capacity (write-back addresses);
+        # ``valid_base`` leaves the slot uncapped so feature-scatter callers
+        # can fill buffers up to the full win1 table span (even-parity query
+        # runs extend past cap1 when a window holds > cap1 voxels)
         out["inv_win1"] = {"win_row": win_row_v, "slot": slot_v,
-                           "valid": inv_valid}
+                           "valid": inv_valid, "valid_base": base_valid}
     return out
 
 

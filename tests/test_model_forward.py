@@ -327,3 +327,28 @@ def test_pallas_kernels_model_parity(model_and_batch, monkeypatch):
     # (vs bf16 einsum); require the bulk of box elements to agree
     close = np.isclose(gb, rb, atol=0.3, rtol=0.1)
     assert close.mean() > 0.95, f"only {close.mean():.2%} of box elems match"
+
+
+def test_gather_fast_path_grad_parity(model_and_batch, monkeypatch):
+    """Training path: loss AND grads through the own-cell gather + feature
+    scatter must match the candidate-scatter path (same math, different
+    data movement — including the scatter-built win1 buffer's VJP)."""
+    model, variables, batch = model_and_batch
+
+    def loss_fn(params):
+        o, _ = model.apply({**variables, "params": params}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        return o["loss"]
+
+    monkeypatch.setenv("MSSVT_PALLAS", "off")
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    monkeypatch.setenv("MSSVT_PALLAS", "xla_fill")
+    l_got, g_got = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(l_got), float(l_ref), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_got = jax.tree_util.tree_leaves(g_got)
+    for (path, r), g in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))

@@ -49,10 +49,20 @@ def test_train_cli_two_epochs_and_eval(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["MSSVT_OUTPUT_ROOT"] = str(out_root)
+    # hermetic subprocess: drop conftest's virtual-8-device XLA_FLAGS (the
+    # CLI would otherwise shard batch 2 over 8 devices and fail the
+    # divisibility assert) and the axon TPU plugin's site dir (its eager
+    # init can hang the subprocess when the TPU tunnel is unreachable,
+    # even under JAX_PLATFORMS=cpu)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)
     proc = subprocess.run(
         [sys.executable, str(REPO / "tools/train.py"),
          "--cfg_file", str(cfg_path), "--epochs", "2", "--batch_size", "2",
-         "--workers", "0", "--extra_tag", "ci", "--eval_after_train"],
+         "--workers", "0", "--extra_tag", "ci", "--eval_after_train",
+         "--num_devices", "1"],
         cwd=str(REPO), env=env, capture_output=True, text=True,
         timeout=1800,
     )
