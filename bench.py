@@ -175,6 +175,8 @@ def main():
     voxel_size = (0.32, 0.32, 0.1875)
     pc_range = (-76.8, -76.8, -2.0, 76.8, 76.8, 4.0)
     batch_size = 1 if "--batch1" in sys.argv else 4
+    if "--batch" in sys.argv:  # e.g. --batch 8: deeper dispatch amortization
+        batch_size = int(sys.argv[sys.argv.index("--batch") + 1])
     max_voxels = 90_000 * batch_size
 
     model = build_network(

@@ -469,11 +469,19 @@ class MsSVTCompressBlock(nn.Module):
         g = gather_window_voxels(
             win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
             self.win1, self.tables, max_num_win1=self.cap1,
-            batch_size=sp.batch_size,
+            batch_size=sp.batch_size, return_inverse=True,
         )
         k = g["win1"]
 
-        k_fea = group_features(x, k["ind"])  # (NW, ns, C)
+        inv = g.get("inv_win1")
+        if (inv is not None and "valid_base" in inv
+                and os.environ.get("MSSVT_WIN1_SCATTER", "on") != "off"):
+            # every voxel lands in exactly one window's buffer: scatter the
+            # V rows through the inverse map instead of NW*cap row gathers
+            k_fea = _scatter_win1_features(
+                x, inv, k["ind"].shape[0], k["ind"].shape[1])
+        else:
+            k_fea = group_features(x, k["ind"])  # (NW, ns, C)
 
         # key metric coordinates on per-component planes from the packed
         # gather offsets (== gathering sp.metric_centers() rows: empty slots

@@ -368,6 +368,11 @@ def _gather_via_own_cells(
     if tables.single_scale:
         out = {"win1": {"ind": ind2, "coord": coord2, "coordp": off2,
                         "mask": ind2 < 0}}
+        if return_inverse:
+            out["inv_win1"] = _own_cell_inverse(
+                win_coords, win_grid, win_valid, own_key, lid, valid,
+                (box >= 0).astype(jnp.float32), tables, k_total, n_cells,
+                nw, int(caps["win1"]), int(caps["win1"]))
         return out
 
     occf = (box >= 0).astype(jnp.float32)
@@ -380,33 +385,42 @@ def _gather_via_own_cells(
                             names, caps)
 
     if return_inverse:
-        # voxel -> (window row, win1 slot): win1 cells precede all win2-only
-        # cells in table order, so a voxel's win2-fill rank IS its win1 slot
-        cap1 = int(caps["win1"])
-        win_key = linearize_coords(win_coords, win_grid, win_valid)
-        wsafe = jnp.where(win_key != INVALID_KEY, win_key,
-                          n_cells + 1 + jnp.arange(nw, dtype=jnp.int32))
-        cell_rows = jnp.full((n_cells + 1 + nw,), -1, jnp.int32).at[
-            wsafe].set(jnp.arange(nw, dtype=jnp.int32), mode="drop",
-                       unique_indices=True)
-        own_cell = jnp.where(own_key != INVALID_KEY, own_key, n_cells)
-        win_row_v = cell_rows[own_cell]  # (V,) -1 if window dropped
-        k_own = jnp.asarray(tables.k_own_lut)[lid]  # (V,)
-        # exclusive rank: M[k', k] = 1 iff k' < k (strictly upper triangular)
-        lt = jnp.asarray(np.triu(np.ones((k_total, k_total), np.float32),
-                                 k=1))
-        rank = jnp.dot(occf, lt, preferred_element_type=jnp.float32)
-        flat = jnp.clip(win_row_v, 0) * k_total + jnp.clip(k_own, 0)
-        slot_v = rank.reshape(-1)[flat].astype(jnp.int32)
-        base_valid = valid & (win_row_v >= 0) & (k_own >= 0)
-        inv_valid = base_valid & (slot_v < min(cap1, cap2))
-        # ``valid`` caps at the win1 buffer capacity (write-back addresses);
-        # ``valid_base`` leaves the slot uncapped so feature-scatter callers
-        # can fill buffers up to the full win1 table span (even-parity query
-        # runs extend past cap1 when a window holds > cap1 voxels)
-        out["inv_win1"] = {"win_row": win_row_v, "slot": slot_v,
-                           "valid": inv_valid, "valid_base": base_valid}
+        out["inv_win1"] = _own_cell_inverse(
+            win_coords, win_grid, win_valid, own_key, lid, valid, occf,
+            tables, k_total, n_cells, nw, int(caps["win1"]), cap2)
     return out
+
+
+def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
+                      occf, tables, k_total, n_cells, nw, cap1, cap2):
+    """voxel -> (window row, win1 slot) inverse map.
+
+    win1 cells precede all win2-only cells in table order, so a voxel's
+    fill rank IS its win1 slot (single-scale: the whole table is win1).
+    ``valid`` caps at the win1 buffer capacity (write-back addresses);
+    ``valid_base`` leaves the slot uncapped so feature-scatter callers can
+    fill buffers up to the full win1 table span (even-parity query runs
+    extend past cap1 when a window holds > cap1 voxels).
+    """
+    win_key = linearize_coords(win_coords, win_grid, win_valid)
+    wsafe = jnp.where(win_key != INVALID_KEY, win_key,
+                      n_cells + 1 + jnp.arange(nw, dtype=jnp.int32))
+    cell_rows = jnp.full((n_cells + 1 + nw,), -1, jnp.int32).at[
+        wsafe].set(jnp.arange(nw, dtype=jnp.int32), mode="drop",
+                   unique_indices=True)
+    own_cell = jnp.where(own_key != INVALID_KEY, own_key, n_cells)
+    win_row_v = cell_rows[own_cell]  # (V,) -1 if window dropped
+    k_own = jnp.asarray(tables.k_own_lut)[lid]  # (V,)
+    # exclusive rank: M[k', k] = 1 iff k' < k (strictly upper triangular)
+    lt = jnp.asarray(np.triu(np.ones((k_total, k_total), np.float32),
+                             k=1))
+    rank = jnp.dot(occf, lt, preferred_element_type=jnp.float32)
+    flat = jnp.clip(win_row_v, 0) * k_total + jnp.clip(k_own, 0)
+    slot_v = rank.reshape(-1)[flat].astype(jnp.int32)
+    base_valid = valid & (win_row_v >= 0) & (k_own >= 0)
+    inv_valid = base_valid & (slot_v < min(cap1, cap2))
+    return {"win_row": win_row_v, "slot": slot_v,
+            "valid": inv_valid, "valid_base": base_valid}
 
 
 def gather_window_voxels(

@@ -343,3 +343,37 @@ def test_scatter_win1_features_parity(rng, monkeypatch, fill_mode):
     want_even = group_features(feats, g["even"]["ind"])
     np.testing.assert_allclose(
         np.asarray(got_even), np.asarray(want_even), atol=1e-6)
+
+
+def test_scatter_single_scale_parity(rng, monkeypatch):
+    """Single-scale (compress-block) inverse map: scatter-built key features
+    equal the gather form."""
+    monkeypatch.setenv("MSSVT_PALLAS", "xla_fill")
+    from mssvt_tpu.models.backbones_3d.mssvt import _scatter_win1_features
+    from mssvt_tpu.ops.sampling import group_features
+
+    n = 70
+    voxels = make_voxels(rng, n)
+    cap_v = 96
+    pad = np.full((cap_v, 4), -1, np.int32)
+    pad[:n] = voxels
+    valid = np.arange(cap_v) < n
+    feats = jnp.asarray(
+        rng.standard_normal((cap_v, 8)).astype(np.float32)
+    ) * jnp.asarray(valid)[:, None]
+
+    win_coords, win_valid, _, _ = window_partition(
+        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, 48, batch_size=2)
+    tables = build_query_tables(WIN1)
+    cap1 = 16  # < window volume: capacity truncation must match too
+    g = gather_window_voxels(
+        win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
+        SHAPE, WIN1, tables, max_num_win1=cap1, batch_size=2,
+        return_inverse=True,
+    )
+    inv = g["inv_win1"]
+    assert "valid_base" in inv
+    nw = g["win1"]["ind"].shape[0]
+    scat = _scatter_win1_features(feats, inv, nw, cap1)
+    want = group_features(feats, g["win1"]["ind"])
+    np.testing.assert_allclose(np.asarray(scat), np.asarray(want))
