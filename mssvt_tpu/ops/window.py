@@ -245,8 +245,29 @@ def _unpack_offsets5(p: jnp.ndarray) -> jnp.ndarray:
     ], axis=-1).astype(jnp.int32)
 
 
+def _barrel_shift_left(arr: jnp.ndarray, shift: jnp.ndarray,
+                       max_shift: int) -> jnp.ndarray:
+    """Per-row left shift along axis 1 by a dynamic per-row amount.
+
+    ``out[r, j] = arr[r, j + shift[r]]`` for ``j + shift[r] < cap`` (wrapped
+    values appear past that point — callers mask them). Implemented as
+    ceil(log2(max_shift+1)) static-roll + select sweeps: full-width VPU ops
+    instead of a (NW, cap) dynamic gather, which is element-descriptor-rate
+    bound on TPU (~100k descriptors/ms — see ops/pallas_fill.py rationale).
+    """
+    nbits = int(max_shift).bit_length()
+    out = arr
+    for b in range(nbits):
+        s = 1 << b
+        rolled = jnp.roll(out, -s, axis=1)
+        bit = ((shift >> b) & 1) == 1
+        out = jnp.where(bit.reshape((-1,) + (1,) * (arr.ndim - 1)),
+                        rolled, out)
+    return out
+
+
 def _derive_from_win2(ind2, coord2, coordp2, odd_cnt, even_cnt, win1_cnt,
-                      names, caps):
+                      names, caps, num_odd=None):
     """Derive the odd/even/win1 buffers as contiguous runs of the win2 buffer.
 
     The win2 buffer fills in global table order (odd ks, then even, then
@@ -257,6 +278,13 @@ def _derive_from_win2(ind2, coord2, coordp2, odd_cnt, even_cnt, win1_cnt,
     channel ``coordp`` (NW, cap); hot-path consumers use ``coordp`` (trailing
     length-3 axes waste 125/128 lanes on every TPU elementwise op) and unused
     representations are dead-code-eliminated.
+
+    The even run is extracted with a barrel shift (static rolls selected by
+    the bits of ``odd_cnt``) rather than ``take_along_axis``: live slots
+    never wrap because callers guarantee ``cap_even + num_odd <= cap_win2``
+    (the ``derivable`` guard), and the shift replaces ~NW*cap gather
+    descriptors with log2(num_odd) full-width sweeps. ``MSSVT_EVEN_DERIVE=
+    gather`` restores the gather form for A/B.
     """
     cap2 = ind2.shape[1]
     out = {}
@@ -275,13 +303,25 @@ def _derive_from_win2(ind2, coord2, coordp2, odd_cnt, even_cnt, win1_cnt,
             out[name] = {"ind": ind, "coord": coord, "coordp": coordp,
                          "mask": ind < 0}
         else:  # even: run starting at the window's odd count
-            pos = jnp.clip(odd_cnt[:, None] + j[None, :], 0, cap2 - 1)
             live = j[None, :] < even_cnt[:, None]
-            ind = jnp.where(live, jnp.take_along_axis(ind2, pos, axis=1), -1)
-            coord = jnp.take_along_axis(
-                coord2, pos[..., None], axis=1) * live[..., None]
-            coordp = jnp.where(
-                live, jnp.take_along_axis(coordp2, pos, axis=1), PACK5_ZERO)
+            if (num_odd is not None
+                    and os.environ.get("MSSVT_EVEN_DERIVE", "shift")
+                    != "gather"):
+                sh_i = _barrel_shift_left(ind2, odd_cnt, num_odd)[:, :cap]
+                sh_c = _barrel_shift_left(coord2, odd_cnt, num_odd)[:, :cap]
+                sh_p = _barrel_shift_left(coordp2, odd_cnt, num_odd)[:, :cap]
+                ind = jnp.where(live, sh_i, -1)
+                coord = sh_c * live[..., None]
+                coordp = jnp.where(live, sh_p, PACK5_ZERO)
+            else:
+                pos = jnp.clip(odd_cnt[:, None] + j[None, :], 0, cap2 - 1)
+                ind = jnp.where(
+                    live, jnp.take_along_axis(ind2, pos, axis=1), -1)
+                coord = jnp.take_along_axis(
+                    coord2, pos[..., None], axis=1) * live[..., None]
+                coordp = jnp.where(
+                    live, jnp.take_along_axis(coordp2, pos, axis=1),
+                    PACK5_ZERO)
             out[name] = {"ind": ind, "coord": coord, "coordp": coordp,
                          "mask": ind < 0, "start": odd_cnt}
     return out
@@ -382,7 +422,7 @@ def _gather_via_own_cells(
                      preferred_element_type=jnp.float32).astype(jnp.int32)
     odd_cnt, even_cnt, win1_cnt = counts[:, 0], counts[:, 1], counts[:, 2]
     out = _derive_from_win2(ind2, coord2, off2, odd_cnt, even_cnt, win1_cnt,
-                            names, caps)
+                            names, caps, num_odd=tables.num_odd)
 
     if return_inverse:
         out["inv_win1"] = _own_cell_inverse(
@@ -646,7 +686,8 @@ def gather_window_voxels(
         win1_cnt = (occ & elig_tab[None, :, WIN1]).sum(axis=1)
 
         out = _derive_from_win2(ind2, coord2, coordp2, odd_cnt, even_cnt,
-                                win1_cnt, names, caps)
+                                win1_cnt, names, caps,
+                                num_odd=tables.num_odd)
         if return_inverse:
             # voxel -> (window row, win1 slot), same run-prefix argument as
             # the own-cell path: a win1 hit's win2-fill rank IS its win1 slot

@@ -377,3 +377,33 @@ def test_scatter_single_scale_parity(rng, monkeypatch):
     scat = _scatter_win1_features(feats, inv, nw, cap1)
     want = group_features(feats, g["win1"]["ind"])
     np.testing.assert_allclose(np.asarray(scat), np.asarray(want))
+
+
+def test_even_derive_shift_matches_gather(rng, monkeypatch):
+    """The barrel-shift even-run extraction (_barrel_shift_left bit-sweeps)
+    returns byte-identical buffers to the take_along_axis form, including
+    with an even cap BELOW the table's even count (truncation)."""
+    monkeypatch.setenv("MSSVT_PALLAS", "xla_fill")
+    n = 70
+    voxels = make_voxels(rng, n)
+    cap_v = 96
+    pad = np.full((cap_v, 4), -1, np.int32)
+    pad[:n] = voxels
+    valid = np.arange(cap_v) < n
+    win_coords, win_valid, _, _ = window_partition(
+        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, 48, batch_size=2)
+    tables = build_query_tables(WIN1, WIN2)
+
+    outs = {}
+    for mode in ("shift", "gather"):
+        monkeypatch.setenv("MSSVT_EVEN_DERIVE", mode)
+        outs[mode] = gather_window_voxels(
+            win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
+            SHAPE, WIN1, tables, max_num_win1=20, max_num_win2=40,
+            max_num_even=max(2, tables.num_even - 3),  # truncating cap
+            batch_size=2,
+        )
+    for field in ("ind", "coord", "coordp", "mask", "start"):
+        np.testing.assert_array_equal(
+            np.asarray(outs["shift"]["even"][field]),
+            np.asarray(outs["gather"]["even"][field]), err_msg=field)
