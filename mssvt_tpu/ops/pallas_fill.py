@@ -67,9 +67,17 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
     cap: int,
     row_block: int = 128,
     interpret: bool = False,
+    order: np.ndarray = None,  # (K,) table position per box column, or None
 ):
     """Nearest-first capacity fill. Returns ((NW, cap) int32 voxel rows with
-    -1 padding, (NW, cap) int32 packed offsets with 0 padding)."""
+    -1 padding, (NW, cap) int32 packed offsets with 0 padding).
+
+    With ``order`` (static), ``box`` columns arrive in an arbitrary source
+    layout whose column s holds table position ``order[s]``; the rank matrix
+    becomes the order comparison ``order[s'] < order[s]`` instead of triu and
+    the offset vector is permuted host-side — the caller's (NW, K) column
+    permutation gather disappears (rank/select are column-order agnostic
+    because the selected entry per (row, slot) is unique)."""
     nw, k = box.shape
     kp = (-(-k // 128)) * 128  # pad table axis to the lane width
     if kp != k:
@@ -79,9 +87,16 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
         box = jnp.pad(box, ((0, pad_rows), (0, 0)), constant_values=-1)
     nwp = nw + pad_rows
 
-    lt = jnp.asarray(np.triu(np.ones((kp, kp), np.float32), k=1))
     offv = np.zeros((8, kp), np.int32)
-    offv[0, :k] = np.asarray(offs_packed, np.int32)
+    if order is None:
+        lt = jnp.asarray(np.triu(np.ones((kp, kp), np.float32), k=1))
+        offv[0, :k] = np.asarray(offs_packed, np.int32)
+    else:
+        o = np.full((kp,), kp + np.arange(kp), np.int64)  # pads rank last
+        o[:k] = np.asarray(order, np.int64)
+        lt = jnp.asarray((o[:, None] < o[None, :]).astype(np.float32))
+        offv[0, :k] = np.asarray(offs_packed, np.int32)[
+            np.asarray(order, np.int64)]
     kernel = functools.partial(_fill_kernel, cap=cap)
     vox, off = pl.pallas_call(
         kernel,
@@ -109,8 +124,13 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
     return vox[:nw], off[:nw]
 
 
-def fill_capacity_buffer_xla(box: jnp.ndarray, offs_packed, cap: int):
+def fill_capacity_buffer_xla(box: jnp.ndarray, offs_packed, cap: int,
+                             order: np.ndarray = None):
     """XLA fallback with identical semantics (CPU tests / non-TPU)."""
+    if order is not None:
+        # source layout -> table order via the static inverse permutation
+        # (explicit gather — this path is CPU-only, cost is irrelevant)
+        box = box[:, jnp.asarray(np.argsort(np.asarray(order, np.int64)))]
     nw, k = box.shape
     occ = box >= 0
     rank = jnp.cumsum(occ.astype(jnp.int32), axis=1) - occ.astype(jnp.int32)

@@ -84,6 +84,14 @@ class QueryTables:
     deltas: np.ndarray = None  # (D, 3) int32 xyz window deltas
     col_src: np.ndarray = None  # (K,) int32 into D*cell_vol
     k_own_lut: np.ndarray = None  # (cell_vol,) int32 table position, -1 absent
+    # When ``col_src`` is a bijection (K == D*cell_vol — true for every
+    # win1/win2 pair whose ratio is odd per dim, i.e. all shipped configs),
+    # ``inv_src[s]`` is the table position of source column s. The column
+    # permutation then folds into the fill kernel's STATIC rank matrix
+    # (order-comparison instead of triu) and the eligibility/offset vectors,
+    # eliminating the (NW, K) box-permutation gather entirely.
+    inv_src: np.ndarray = None  # (D*cell_vol,) int32, None if not bijective
+    d0: int = 0  # index of the (0,0,0) delta in ``deltas``
 
 
 def _with_lut(offsets, elig, num_odd, num_even, single, win1_size):
@@ -110,9 +118,16 @@ def _with_lut(offsets, elig, num_odd, num_even, single, win1_size):
     k_own = np.full((cell_vol,), -1, np.int32)
     center = (d == 0).all(axis=1)
     k_own[lid[center]] = np.arange(len(offsets), dtype=np.int32)[center]
+    inv_src = None
+    if len(offsets) == deltas.shape[0] * cell_vol:
+        inv = np.full(deltas.shape[0] * cell_vol, -1, np.int64)
+        inv[col_src] = np.arange(len(offsets))
+        if (inv >= 0).all():
+            inv_src = inv.astype(np.int32)
+    d0 = int(dmap.get((0, 0, 0), 0))
     return QueryTables(offsets, elig, num_odd, num_even, single,
                        off_min.astype(np.int32), off_max.astype(np.int32), lut,
-                       deltas, col_src, k_own)
+                       deltas, col_src, k_own, inv_src, d0)
 
 
 def _chebyshev_sorted_offsets(size) -> np.ndarray:
@@ -391,17 +406,23 @@ def _gather_via_own_cells(
     nbr_key = linearize_coords(nbr, win_grid, valid=win_valid[:, None])
     nbr_row = jnp.where(nbr_key != INVALID_KEY, nbr_key, n_cells)
     box_d = table2[nbr_row]  # (nw, D, cv) row gather
-    box = box_d.reshape(nw, d * cv)[:, jnp.asarray(tables.col_src)]  # (nw, K)
+    order = tables.inv_src  # static: table position per source column
+    if order is None:  # non-bijective col_src: explicit permutation gather
+        box = box_d.reshape(nw, d * cv)[:, jnp.asarray(tables.col_src)]
+    else:  # fold the permutation into the fill kernel's static matrices
+        box = box_d.reshape(nw, d * cv)
 
     # 3. capacity fill (voxel rows + packed offsets in one kernel pass — a
     # post-hoc (nw x cap) offset gather from the table measured ~15 ms/frame)
     offs_packed = _pack_offsets5(tables.offsets)
     cap2 = int(caps["win2"]) if not tables.single_scale else int(caps["win1"])
     if mode == "xla_fill":
-        ind2, off2 = fill_capacity_buffer_xla(box, offs_packed, cap2)
+        ind2, off2 = fill_capacity_buffer_xla(box, offs_packed, cap2,
+                                              order=order)
     else:
         ind2, off2 = fill_capacity_buffer(box, offs_packed, cap2,
-                                          interpret=(mode == "interpret"))
+                                          interpret=(mode == "interpret"),
+                                          order=order)
     live = ind2 >= 0
     coord2 = _unpack_offsets5(off2) * live[..., None]
 
@@ -416,8 +437,10 @@ def _gather_via_own_cells(
         return out
 
     occf = (box >= 0).astype(jnp.float32)
-    elig3 = jnp.asarray(
-        tables.eligibility[:, [ODD, EVEN, WIN1]].astype(np.float32))
+    elig3_np = tables.eligibility[:, [ODD, EVEN, WIN1]].astype(np.float32)
+    if order is not None:  # rows follow the source column layout
+        elig3_np = elig3_np[np.asarray(order, np.int64)]
+    elig3 = jnp.asarray(elig3_np)
     counts = jnp.dot(occf, elig3,
                      preferred_element_type=jnp.float32).astype(jnp.int32)
     odd_cnt, even_cnt, win1_cnt = counts[:, 0], counts[:, 1], counts[:, 2]
@@ -441,6 +464,11 @@ def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
     ``valid_base`` leaves the slot uncapped so feature-scatter callers can
     fill buffers up to the full win1 table span (even-parity query runs
     extend past cap1 when a window holds > cap1 voxels).
+
+    ``occf`` arrives in the SOURCE column layout when the permutation fold
+    is active (tables.inv_src — see fill_capacity_buffer): the rank matrix
+    becomes the static order comparison, and the voxel's own column is the
+    arithmetic ``d0*cell_vol + lid`` (no k_own_lut gather).
     """
     win_key = linearize_coords(win_coords, win_grid, win_valid)
     wsafe = jnp.where(win_key != INVALID_KEY, win_key,
@@ -450,12 +478,21 @@ def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
                    unique_indices=True)
     own_cell = jnp.where(own_key != INVALID_KEY, own_key, n_cells)
     win_row_v = cell_rows[own_cell]  # (V,) -1 if window dropped
-    k_own = jnp.asarray(tables.k_own_lut)[lid]  # (V,)
-    # exclusive rank: M[k', k] = 1 iff k' < k (strictly upper triangular)
-    lt = jnp.asarray(np.triu(np.ones((k_total, k_total), np.float32),
-                             k=1))
+    order = tables.inv_src
+    if order is None:
+        k_own = jnp.asarray(tables.k_own_lut)[lid]  # (V,)
+        # exclusive rank: M[k', k] = 1 iff k' < k (strictly upper triangular)
+        lt = jnp.asarray(np.triu(np.ones((k_total, k_total), np.float32),
+                                 k=1))
+        width = k_total
+    else:
+        cell_vol = int(tables.k_own_lut.shape[0])
+        k_own = tables.d0 * cell_vol + lid  # own SOURCE column, arithmetic
+        o = np.asarray(order, np.int64)
+        lt = jnp.asarray((o[:, None] < o[None, :]).astype(np.float32))
+        width = int(o.shape[0])
     rank = jnp.dot(occf, lt, preferred_element_type=jnp.float32)
-    flat = jnp.clip(win_row_v, 0) * k_total + jnp.clip(k_own, 0)
+    flat = jnp.clip(win_row_v, 0) * width + jnp.clip(k_own, 0)
     slot_v = rank.reshape(-1)[flat].astype(jnp.int32)
     base_valid = valid & (win_row_v >= 0) & (k_own >= 0)
     inv_valid = base_valid & (slot_v < min(cap1, cap2))
