@@ -33,16 +33,32 @@ from jax.experimental.pallas import tpu as pltpu
 PACK5_ZERO = (16 << 10) | (16 << 5) | 16
 
 
-def _fill_kernel(box_ref, lt_ref, off_ref, vox_ref, offo_ref, *, cap):
+def _fill_kernel(*refs, cap, own_slab=None):
+    if own_slab is None:
+        box_ref, lt_ref, off_ref, vox_ref, offo_ref = refs
+    else:
+        (box_ref, lt_ref, off_ref, elig_ref,
+         vox_ref, offo_ref, rank_ref, cnt_ref) = refs
     box = box_ref[:]                      # (R, Kp) int32, -1 = empty
     occ = box >= 0
     # exclusive rank of each hit within its row, in table order: one MXU dot
     # with the static strictly-upper-triangular ones matrix
     # (dot(occ, M)[r, k] = sum_{k'} occ[r, k'] M[k', k], M[k', k]=1 iff k'<k)
+    occf = occ.astype(jnp.float32)
     rank = jax.lax.dot(
-        occ.astype(jnp.float32), lt_ref[:],
+        occf, lt_ref[:],
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
+
+    if own_slab is not None:
+        # emit the rank slab at the own-cell columns + the per-buffer counts
+        # dot — the XLA inverse-map / counts consumers reuse these instead of
+        # re-running the same (R, Kp) x (Kp, Kp) contraction outside
+        s0, cv = own_slab
+        rank_ref[:] = rank[:, s0:s0 + cv]
+        cnt_ref[:] = jax.lax.dot(
+            occf, elig_ref[:], preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
 
     offvec = off_ref[0:1, :]  # (1, Kp) packed offset per table column
 
@@ -68,6 +84,8 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
     row_block: int = 128,
     interpret: bool = False,
     order: np.ndarray = None,  # (K,) table position per box column, or None
+    own_slab=None,   # (start_col, cell_vol) to also emit the own-cell ranks
+    elig: np.ndarray = None,  # (K, <=8) f32 per-SOURCE-column eligibility
 ):
     """Nearest-first capacity fill. Returns ((NW, cap) int32 voxel rows with
     -1 padding, (NW, cap) int32 packed offsets with 0 padding).
@@ -77,7 +95,14 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
     becomes the order comparison ``order[s'] < order[s]`` instead of triu and
     the offset vector is permuted host-side — the caller's (NW, K) column
     permutation gather disappears (rank/select are column-order agnostic
-    because the selected entry per (row, slot) is unique)."""
+    because the selected entry per (row, slot) is unique).
+
+    With ``own_slab=(s0, cv)`` the kernel additionally returns the rank slab
+    at columns [s0, s0+cv) as (NW, cv) int32 (the voxel->win1-slot inverse
+    map reads exactly these — the own-cell columns) and, with ``elig``, the
+    per-buffer occupancy counts as (NW, 8) int32 (columns past elig's width
+    are zero) — replacing the equivalent XLA contractions that would
+    otherwise re-read ``box`` and redo the same (NW, K) x (K, K) dot."""
     nw, k = box.shape
     kp = (-(-k // 128)) * 128  # pad table axis to the lane width
     if kp != k:
@@ -97,43 +122,87 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
         lt = jnp.asarray((o[:, None] < o[None, :]).astype(np.float32))
         offv[0, :k] = np.asarray(offs_packed, np.int32)[
             np.asarray(order, np.int64)]
-    kernel = functools.partial(_fill_kernel, cap=cap)
-    vox, off = pl.pallas_call(
+    kernel = functools.partial(_fill_kernel, cap=cap, own_slab=own_slab)
+    in_specs = [
+        pl.BlockSpec((row_block, kp), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kp, kp), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, kp), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((row_block, cap), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((row_block, cap), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
+        jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
+    ]
+    operands = [box, lt, jnp.asarray(offv)]
+    if own_slab is not None:
+        cv = int(own_slab[1])
+        elig8 = np.zeros((kp, 8), np.float32)
+        if elig is not None:
+            e = np.asarray(elig, np.float32)
+            elig8[:k, :e.shape[1]] = e
+        in_specs.append(pl.BlockSpec((kp, 8), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(elig8))
+        out_specs += [
+            pl.BlockSpec((row_block, cv), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((nwp, cv), jnp.int32),
+            jax.ShapeDtypeStruct((nwp, 8), jnp.int32),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(nwp // row_block,),
-        in_specs=[
-            pl.BlockSpec((row_block, kp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, kp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, kp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((row_block, cap), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_block, cap), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
-            jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
-    )(box, lt, jnp.asarray(offv))
-    return vox[:nw], off[:nw]
+    )(*operands)
+    return tuple(o[:nw] for o in outs)
 
 
 def fill_capacity_buffer_xla(box: jnp.ndarray, offs_packed, cap: int,
-                             order: np.ndarray = None):
+                             order: np.ndarray = None, own_slab=None,
+                             elig: np.ndarray = None):
     """XLA fallback with identical semantics (CPU tests / non-TPU)."""
+    extras = ()
+    if own_slab is not None:
+        s0, cv = (int(v) for v in own_slab)
     if order is not None:
         # source layout -> table order via the static inverse permutation
         # (explicit gather — this path is CPU-only, cost is irrelevant)
-        box = box[:, jnp.asarray(np.argsort(np.asarray(order, np.int64)))]
+        src = np.argsort(np.asarray(order, np.int64))
+        box_src = box
+        box = box[:, jnp.asarray(src)]
     nw, k = box.shape
     occ = box >= 0
     rank = jnp.cumsum(occ.astype(jnp.int32), axis=1) - occ.astype(jnp.int32)
+    if own_slab is not None:
+        # rank per SOURCE column = table-order rank taken at order[s]
+        rank_src = rank[:, jnp.asarray(np.asarray(order, np.int64))] \
+            if order is not None else rank
+        rank_own = rank_src[:, s0:s0 + cv]
+        cnt = jnp.zeros((nw, 8), jnp.int32)
+        if elig is not None:
+            e = np.zeros((k, 8), np.float32)
+            e[:, :np.asarray(elig).shape[1]] = np.asarray(elig, np.float32)
+            occ_f = ((box_src if order is not None else box) >= 0
+                     ).astype(jnp.float32)
+            cnt = jnp.dot(occ_f, jnp.asarray(e),
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.int32)
+        extras = (rank_own, cnt)
     offv = jnp.broadcast_to(
         jnp.asarray(np.asarray(offs_packed, np.int32)), box.shape)
     keep = occ & (rank < cap)
@@ -148,4 +217,4 @@ def fill_capacity_buffer_xla(box: jnp.ndarray, offs_packed, cap: int,
     off = jnp.full((nw * cap,), PACK5_ZERO, jnp.int32).at[dest].set(
         offv.reshape(-1), mode="drop", unique_indices=True
     ).reshape(nw, cap)
-    return vox, off
+    return (vox, off) + extras

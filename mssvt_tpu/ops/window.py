@@ -413,16 +413,31 @@ def _gather_via_own_cells(
         box = box_d.reshape(nw, d * cv)
 
     # 3. capacity fill (voxel rows + packed offsets in one kernel pass — a
-    # post-hoc (nw x cap) offset gather from the table measured ~15 ms/frame)
+    # post-hoc (nw x cap) offset gather from the table measured ~15 ms/frame).
+    # With the permutation fold active, the kernel also emits the own-cell
+    # rank slab (the inverse map's slot lookup table) and the per-buffer
+    # occupancy counts — both are byproducts of the rank dot it runs anyway,
+    # replacing duplicate (nw, K) x (K, *) contractions in XLA.
     offs_packed = _pack_offsets5(tables.offsets)
     cap2 = int(caps["win2"]) if not tables.single_scale else int(caps["win1"])
+    want_extras = order is not None and (not tables.single_scale
+                                         or return_inverse)
+    own_slab = (tables.d0 * cv, cv) if want_extras else None
+    elig_src = None
+    if want_extras and not tables.single_scale:
+        elig_src = tables.eligibility[:, [ODD, EVEN, WIN1]].astype(
+            np.float32)[np.asarray(order, np.int64)]
     if mode == "xla_fill":
-        ind2, off2 = fill_capacity_buffer_xla(box, offs_packed, cap2,
-                                              order=order)
+        outs = fill_capacity_buffer_xla(box, offs_packed, cap2, order=order,
+                                        own_slab=own_slab, elig=elig_src)
     else:
-        ind2, off2 = fill_capacity_buffer(box, offs_packed, cap2,
-                                          interpret=(mode == "interpret"),
-                                          order=order)
+        outs = fill_capacity_buffer(box, offs_packed, cap2,
+                                    interpret=(mode == "interpret"),
+                                    order=order, own_slab=own_slab,
+                                    elig=elig_src)
+    ind2, off2 = outs[0], outs[1]
+    rank_own = outs[2] if want_extras else None
+    cnt = outs[3] if want_extras else None
     live = ind2 >= 0
     coord2 = _unpack_offsets5(off2) * live[..., None]
 
@@ -433,29 +448,34 @@ def _gather_via_own_cells(
             out["inv_win1"] = _own_cell_inverse(
                 win_coords, win_grid, win_valid, own_key, lid, valid,
                 (box >= 0).astype(jnp.float32), tables, k_total, n_cells,
-                nw, int(caps["win1"]), int(caps["win1"]))
+                nw, int(caps["win1"]), int(caps["win1"]),
+                rank_own=rank_own)
         return out
 
-    occf = (box >= 0).astype(jnp.float32)
-    elig3_np = tables.eligibility[:, [ODD, EVEN, WIN1]].astype(np.float32)
-    if order is not None:  # rows follow the source column layout
-        elig3_np = elig3_np[np.asarray(order, np.int64)]
-    elig3 = jnp.asarray(elig3_np)
-    counts = jnp.dot(occf, elig3,
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
-    odd_cnt, even_cnt, win1_cnt = counts[:, 0], counts[:, 1], counts[:, 2]
+    if cnt is not None:
+        odd_cnt, even_cnt, win1_cnt = cnt[:, 0], cnt[:, 1], cnt[:, 2]
+    else:
+        occf = (box >= 0).astype(jnp.float32)
+        elig3_np = tables.eligibility[:, [ODD, EVEN, WIN1]].astype(np.float32)
+        if order is not None:  # rows follow the source column layout
+            elig3_np = elig3_np[np.asarray(order, np.int64)]
+        counts = jnp.dot(occf, jnp.asarray(elig3_np),
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+        odd_cnt, even_cnt, win1_cnt = counts[:, 0], counts[:, 1], counts[:, 2]
     out = _derive_from_win2(ind2, coord2, off2, odd_cnt, even_cnt, win1_cnt,
                             names, caps, num_odd=tables.num_odd)
 
     if return_inverse:
         out["inv_win1"] = _own_cell_inverse(
-            win_coords, win_grid, win_valid, own_key, lid, valid, occf,
-            tables, k_total, n_cells, nw, int(caps["win1"]), cap2)
+            win_coords, win_grid, win_valid, own_key, lid, valid,
+            (box >= 0).astype(jnp.float32), tables, k_total, n_cells,
+            nw, int(caps["win1"]), cap2, rank_own=rank_own)
     return out
 
 
 def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
-                      occf, tables, k_total, n_cells, nw, cap1, cap2):
+                      occf, tables, k_total, n_cells, nw, cap1, cap2,
+                      rank_own=None):
     """voxel -> (window row, win1 slot) inverse map.
 
     win1 cells precede all win2-only cells in table order, so a voxel's
@@ -479,21 +499,29 @@ def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
     own_cell = jnp.where(own_key != INVALID_KEY, own_key, n_cells)
     win_row_v = cell_rows[own_cell]  # (V,) -1 if window dropped
     order = tables.inv_src
-    if order is None:
-        k_own = jnp.asarray(tables.k_own_lut)[lid]  # (V,)
-        # exclusive rank: M[k', k] = 1 iff k' < k (strictly upper triangular)
-        lt = jnp.asarray(np.triu(np.ones((k_total, k_total), np.float32),
-                                 k=1))
-        width = k_total
-    else:
+    if rank_own is not None:
+        # the fill kernel already emitted the rank slab at the own-cell
+        # columns — (nw, cell_vol), indexed by the voxel's local cell id
         cell_vol = int(tables.k_own_lut.shape[0])
-        k_own = tables.d0 * cell_vol + lid  # own SOURCE column, arithmetic
-        o = np.asarray(order, np.int64)
-        lt = jnp.asarray((o[:, None] < o[None, :]).astype(np.float32))
-        width = int(o.shape[0])
-    rank = jnp.dot(occf, lt, preferred_element_type=jnp.float32)
-    flat = jnp.clip(win_row_v, 0) * width + jnp.clip(k_own, 0)
-    slot_v = rank.reshape(-1)[flat].astype(jnp.int32)
+        k_own = lid
+        flat = jnp.clip(win_row_v, 0) * cell_vol + lid
+        slot_v = rank_own.reshape(-1)[flat].astype(jnp.int32)
+    else:
+        if order is None:
+            k_own = jnp.asarray(tables.k_own_lut)[lid]  # (V,)
+            # exclusive rank: M[k',k] = 1 iff k' < k (strict upper triangle)
+            lt = jnp.asarray(np.triu(np.ones((k_total, k_total), np.float32),
+                                     k=1))
+            width = k_total
+        else:
+            cell_vol = int(tables.k_own_lut.shape[0])
+            k_own = tables.d0 * cell_vol + lid  # own SOURCE col, arithmetic
+            o = np.asarray(order, np.int64)
+            lt = jnp.asarray((o[:, None] < o[None, :]).astype(np.float32))
+            width = int(o.shape[0])
+        rank = jnp.dot(occf, lt, preferred_element_type=jnp.float32)
+        flat = jnp.clip(win_row_v, 0) * width + jnp.clip(k_own, 0)
+        slot_v = rank.reshape(-1)[flat].astype(jnp.int32)
     base_valid = valid & (win_row_v >= 0) & (k_own >= 0)
     inv_valid = base_valid & (slot_v < min(cap1, cap2))
     return {"win_row": win_row_v, "slot": slot_v,
