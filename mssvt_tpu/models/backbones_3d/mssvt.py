@@ -38,7 +38,7 @@ from ...ops.pallas_fill import PACK5_ZERO
 from ...ops.pallas_interp import interp_win1_pallas
 from ...ops.sampling import (
     farthest_point_sample,
-    farthest_point_sample_planes,
+    farthest_point_sample_planes_select,
     gather_along_batch,
     group_features,
     three_interp_weights_planes,
@@ -203,19 +203,23 @@ class MsSVTBlock(nn.Module):
         both_ind = jnp.concatenate([pad_ind, win2b["ind"]], axis=0)
         both_p = jnp.concatenate([pad_p, win2b["coordp"]], axis=0)
         bx, by, bz = _unpack_planes(both_p)
-        fps = farthest_point_sample_planes(
+        # FPS also emits the picked coordinate planes and the picked buffer
+        # rows (exact in f32): the selections fall out of the kernel's
+        # one-hot reductions, replacing three (2NW, ks) take_along_axis
+        # gathers of coords/indices after the fact
+        fps, (sx, sy, sz, sind) = farthest_point_sample_planes_select(
             bx.astype(jnp.float32), by.astype(jnp.float32),
-            bz.astype(jnp.float32), self.key_num_sample)
+            bz.astype(jnp.float32), (both_ind,), self.key_num_sample)
         # mask repeated selections of slot 0 (ref :248-252)
         fps_mask = (fps == 0).at[:, 0].set(False)
-        k_ind = jnp.take_along_axis(both_ind, fps, axis=1)
+        k_ind = sind.astype(jnp.int32)  # exact: rows < 2**24
         k_mask = fps_mask | (k_ind < 0)
         nw = win1b["ind"].shape[0]
         k_ind1, k_ind2 = k_ind[:nw], k_ind[nw:]
         k_mask1, k_mask2 = k_mask[:nw], k_mask[nw:]
         # fps1 may point at the pad slots (masked via k_ind<0); clip so the
         # local gathers from the UNPADDED win1 buffers stay in bounds
-        fps1, fps2 = jnp.minimum(fps[:nw], n1 - 1), fps[nw:]
+        fps1 = jnp.minimum(fps[:nw], n1 - 1)
 
         # --- feature gathers (ref :260-268). Row gathers are index-rate
         # bound on TPU, so: the win1-region buffer is built by SCATTERING the
@@ -277,12 +281,20 @@ class MsSVTBlock(nn.Module):
             mz = (((ctr_z + oz).astype(jnp.float32) + 0.5) * vsz + minz) * keep
             return mx, my, mz
 
+        def slot_metric_sel(ox, oy, oz, empty_mask):
+            # same transform on ALREADY-UNPACKED f32 offset planes (the FPS
+            # kernel's selected-coordinate outputs; masked lanes carry
+            # arbitrary-but-finite values and are zeroed by ``keep``)
+            keep = (~empty_mask).astype(jnp.float32)
+            mx = ((ctr_x + ox + 0.5) * vsx + minx) * keep
+            my = ((ctr_y + oy + 0.5) * vsy + miny) * keep
+            mz = ((ctr_z + oz + 0.5) * vsz + minz) * keep
+            return mx, my, mz
+
         q_m = slot_metric_planes(q["coordp"], q["mask"])
         win1_m = slot_metric_planes(win1b["coordp"], win1b["mask"])
-        k_m1 = slot_metric_planes(
-            jnp.take_along_axis(win1b["coordp"], fps1, axis=1), k_mask1)
-        k_m2 = slot_metric_planes(
-            jnp.take_along_axis(win2b["coordp"], fps2, axis=1), k_mask2)
+        k_m1 = slot_metric_sel(sx[:nw], sy[:nw], sz[:nw], k_mask1)
+        k_m2 = slot_metric_sel(sx[nw:], sy[nw:], sz[nw:], k_mask2)
         # window metric center planes (≡ _window_metric_centers)
         wcx = (win_coords[:, 3].astype(jnp.float32) + 0.5) * (vsx * wx) + minx
         wcy = (win_coords[:, 2].astype(jnp.float32) + 0.5) * (vsy * wy) + miny

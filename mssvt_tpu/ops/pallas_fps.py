@@ -92,6 +92,91 @@ def _fps_kernel_t(x_ref, y_ref, z_ref, o_ref, *, npoint):
     o_ref[:] = out
 
 
+def _fps_kernel_t_sel(*refs, npoint, naux):
+    """Transposed FPS that ALSO emits the selected values of every input
+    plane (coords + aux planes, e.g. buffer indices as exact f32).
+
+    The per-iteration one-hot reduction ``sum(plane * sel)`` is the pick's
+    plane value — already computed for x/y/z to update distances — so
+    emitting selections costs one select per plane per iteration and
+    removes the callers' post-FPS (B, npoint) take_along_axis gathers
+    (element-descriptor-rate bound on TPU). Iteration i's reduction is the
+    coords of the PREVIOUS pick (slot i-1); slot npoint-1 gets one extra
+    reduction after the loop.
+    """
+    planes = [r[:].astype(jnp.float32) for r in refs[:3 + naux]]  # (N, W)
+    o_ref = refs[3 + naux]
+    sel_refs = refs[4 + naux:]
+    x, y, z = planes[:3]
+    n, wcols = x.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, wcols), 0)
+    orow = jax.lax.broadcasted_iota(jnp.int32, (npoint, wcols), 0)
+
+    def body(i, carry):
+        min_dist, last, out, sels = carry
+        sel = (row == last).astype(jnp.float32)  # (N, W) one-hot per column
+        picks = [jnp.sum(p * sel, axis=0, keepdims=True) for p in planes]
+        lx, ly, lz = picks[:3]
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        min_dist = jnp.minimum(min_dist, d)
+        m = jnp.max(min_dist, axis=0, keepdims=True)
+        nxt = jnp.min(jnp.where(min_dist == m, row, n), axis=0,
+                      keepdims=True).astype(jnp.int32)  # (1, W)
+        out = jnp.where(orow == i, nxt, out)
+        sels = tuple(jnp.where(orow == (i - 1), pk, s)
+                     for pk, s in zip(picks, sels))
+        return min_dist, nxt, out, sels
+
+    out0 = jnp.zeros((npoint, wcols), jnp.int32)
+    sels0 = tuple(jnp.zeros((npoint, wcols), jnp.float32)
+                  for _ in planes)
+    init = (jnp.full((n, wcols), 1e10, jnp.float32),
+            jnp.zeros((1, wcols), jnp.int32), out0, sels0)
+    _, last, out, sels = jax.lax.fori_loop(1, npoint, body, init)
+    # final pick's values (slot npoint-1) need one more one-hot reduction
+    fsel = (row == last).astype(jnp.float32)
+    o_ref[:] = out
+    for ref, p, s in zip(sel_refs, planes, sels):
+        pk = jnp.sum(p * fsel, axis=0, keepdims=True)
+        ref[:] = jnp.where(orow == (npoint - 1), pk, s)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npoint", "col_block", "interpret"))
+def farthest_point_sample_planes_pallas_t_sel(
+    x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, aux,
+    npoint: int, col_block: int = 128, interpret: bool = False,
+):
+    """Transposed-layout FPS returning ``(idx (B, npoint) int32, selected
+    planes)`` — selections of (x, y, z, *aux) at the picks, each (B,
+    npoint) f32. Aux planes must be f32-exact (|v| < 2**24)."""
+    b, n = x.shape
+    pad = (-b) % col_block
+    planes = [x, y, z] + list(aux)
+    tp = [jnp.pad(p.astype(jnp.float32), ((0, pad), (0, 0))).T
+          for p in planes]
+    bp = b + pad
+    naux = len(aux)
+    kernel = functools.partial(_fps_kernel_t_sel, npoint=npoint, naux=naux)
+    nplanes = 3 + naux
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bp // col_block,),
+        in_specs=[pl.BlockSpec((n, col_block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] * nplanes,
+        out_specs=tuple(
+            [pl.BlockSpec((npoint, col_block), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)] * (1 + nplanes)),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((npoint, bp), jnp.int32)]
+            + [jax.ShapeDtypeStruct((npoint, bp), jnp.float32)] * nplanes),
+        interpret=interpret,
+    )(*tp)
+    idx = outs[0].T[:b]
+    sels = tuple(o.T[:b] for o in outs[1:])
+    return idx, sels
+
+
 @functools.partial(
     jax.jit, static_argnames=("npoint", "col_block", "interpret"))
 def farthest_point_sample_planes_pallas_t(

@@ -115,6 +115,38 @@ def farthest_point_sample_planes(x: jnp.ndarray, y: jnp.ndarray,
     return out
 
 
+def farthest_point_sample_planes_select(x, y, z, aux, npoint: int):
+    """FPS that also returns the selected values of (x, y, z, *aux) at the
+    picks, each (B, npoint) f32.
+
+    On the Pallas path the selections fall out of the kernel's per-iteration
+    one-hot reductions (no extra HBM traffic); elsewhere they are plain
+    ``take_along_axis`` gathers of the same planes — bit-identical values
+    (the kernel's ``sum(plane * one_hot)`` has exactly one nonzero term).
+    Aux planes must be f32-exact (|v| < 2**24), e.g. buffer row indices.
+    """
+    # Selections are values of integer-derived planes: the pre-select form
+    # (int-buffer take_along) carried no gradient path, and the kernel has
+    # no autodiff rules — stop_gradient on the INPUTS keeps value_and_grad
+    # from linearizing through the kernel, preserving those exact semantics.
+    x, y, z = (jax.lax.stop_gradient(p) for p in (x, y, z))
+    aux = tuple(jax.lax.stop_gradient(p) for p in aux)
+    mode = os.environ.get("MSSVT_PALLAS", "auto")
+    if mode == "interpret" or (
+        mode not in ("off", "xla_fill") and jax.default_backend() == "tpu"
+    ):
+        from .pallas_fps import farthest_point_sample_planes_pallas_t_sel
+
+        return farthest_point_sample_planes_pallas_t_sel(
+            x, y, z, tuple(aux), npoint, col_block=128,
+            interpret=(mode == "interpret"))
+    idx = farthest_point_sample_planes(x, y, z, npoint)
+    sels = tuple(
+        jnp.take_along_axis(p.astype(jnp.float32), idx, axis=1)
+        for p in (x, y, z, *aux))
+    return idx, sels
+
+
 def three_nn_planes(ux, uy, uz, kx, ky, kz):
     """:func:`three_nn` on component planes ((B, n) x3 vs (B, m) x3)."""
     u2 = ux * ux + uy * uy + uz * uz  # (B, n)
