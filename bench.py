@@ -227,6 +227,25 @@ def main():
     for s in scenes:  # warm every distinct input once
         float(np.asarray(infer(variables, s)[1]).sum())
 
+    # --profile [dir]: capture a jax profiler trace (xplane) around a few
+    # steady-state iterations — the TPU-native analog of the reference's
+    # wall-clock meters (SURVEY.md §5 tracing). Guarded: the axon tunnel
+    # may not support device tracing; the bench number is unaffected.
+    if "--profile" in sys.argv:
+        import jax as _jax
+        ai = sys.argv.index("--profile")
+        tdir = (sys.argv[ai + 1] if len(sys.argv) > ai + 1
+                and not sys.argv[ai + 1].startswith("-")
+                else "/tmp/mssvt_trace")
+        try:
+            _jax.profiler.start_trace(tdir)
+            for i in range(3):
+                float(np.asarray(infer(variables, scenes[i % len(scenes)])[1]).sum())
+            _jax.profiler.stop_trace()
+            print(f"# profiler trace written to {tdir}", file=sys.stderr)
+        except Exception as e:  # tracing is best-effort on the tunnel
+            print(f"# profiler trace failed: {e}", file=sys.stderr)
+
     n_iter = 20
     t0 = time.time()
     sink = 0.0
