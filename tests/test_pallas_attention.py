@@ -226,3 +226,49 @@ def test_module_param_tree_identical_between_paths(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(p_einsum),
                     jax.tree_util.tree_leaves(p_fused)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("variant,wb", [("b3d", 2), ("b3d", 16), ("slice", 2)])
+def test_fused_kernel_grad_parity_bwd_variants(variant, wb, monkeypatch):
+    """Grad parity for the env-selectable backward (variant, supertile)
+    points — protects MSSVT_ATTN_BWD_VARIANT/WB A/B runs from silently
+    shipping a broken backward."""
+    import mssvt_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "ATTN_BWD_VARIANT", variant)
+    monkeypatch.setattr(pa, "ATTN_BWD_WB", wb)
+    # the variant globals are read at TRACE time inside jitted wrappers with
+    # identical signatures across params — drop cached traces or every case
+    # after the first would silently re-test the first variant
+    jax.clear_caches()
+    rng = np.random.default_rng(11)
+    num_heads = (2, 2)
+    nw, nq, nk_tot, d = 6, 16, 32, 64
+    query = jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(nw, nk_tot, d)).astype(np.float32))
+    km = rng.random((nw, nk_tot)) < 0.3
+    bias = jnp.asarray(np.where(km, -100.0, 0.0).astype(np.float32))
+    proj = tuple(jnp.asarray(p) for p in _rand_proj(rng, num_heads, d))
+    scale = (d // sum(num_heads)) ** -0.5
+    gout = jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32))
+
+    def loss_fused(q, k, pr):
+        out = fused_window_attention(
+            q, k, pr, bias, num_heads=num_heads, scale=scale,
+            interpret=True, compute_dtype=jnp.float32)
+        return jnp.sum(out * gout)
+
+    def loss_ref(q, k, pr):
+        return jnp.sum(_ref_full_jax(q, k, pr, bias, num_heads, scale) * gout)
+
+    with jax.default_matmul_precision("float32"):
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(query, keys, proj)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(query, keys, proj)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               atol=2e-3, rtol=2e-3)
+    for name, a, b in zip(["wq", "bq", "wk", "bk", "wv", "bv", "wp", "bp"],
+                          gf[2], gr[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=2e-3, err_msg=name)
