@@ -37,7 +37,6 @@ from ...ops.pallas_ffn import fused_residual_ffn
 from ...ops.pallas_fill import PACK5_ZERO
 from ...ops.pallas_interp import interp_win1_pallas
 from ...ops.sampling import (
-    farthest_point_sample,
     farthest_point_sample_planes_select,
     gather_along_batch,
     group_features,
@@ -101,21 +100,6 @@ def _scatter_win1_features(x, inv, nw, cap_s):
         .at[pos].set(x, mode="drop", unique_indices=True)
         .reshape(nw, cap_s, c)
     )
-
-
-def _fps_keys(ind, coord, key_num_sample):
-    """FPS-downsample a gathered buffer to ``key_num_sample`` keys per window.
-
-    Mirrors ref: mssvt_backbone.py:247-258 — FPS on the integer grid-offset
-    buffer (zero-padded), mask repeated selections of slot 0, then gather the
-    voxel rows and OR in emptiness of the gathered slots.
-    """
-    fps_idx = farthest_point_sample(coord.astype(jnp.float32), key_num_sample)
-    fps_mask = fps_idx == 0
-    fps_mask = fps_mask.at[:, 0].set(False)
-    k_ind = gather_along_batch(ind, fps_idx)
-    k_mask = fps_mask | (k_ind < 0)
-    return k_ind, k_mask, fps_idx
 
 
 class MsSVTBlock(nn.Module):

@@ -117,7 +117,7 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
         lt = jnp.asarray(np.triu(np.ones((kp, kp), np.float32), k=1))
         offv[0, :k] = np.asarray(offs_packed, np.int32)
     else:
-        o = np.full((kp,), kp + np.arange(kp), np.int64)  # pads rank last
+        o = kp + np.arange(kp, dtype=np.int64)  # pad columns rank last
         o[:k] = np.asarray(order, np.int64)
         lt = jnp.asarray((o[:, None] < o[None, :]).astype(np.float32))
         offv[0, :k] = np.asarray(offs_packed, np.int32)[
