@@ -88,7 +88,7 @@ class MixedScaleAttention(nn.Module):
             # weight matrices applied to the UNSLICED tensors: the per-group
             # channel slices + pads + concats of the naive formulation
             # measured ~70 ms/frame of pure data movement at Waymo scale
-            # (surgical ablation, .diag/ablate_e2e.py). Param layout is
+            # (surgical ablation, tools/ablate_e2e.py). Param layout is
             # identical to the einsum path (same Dense submodules, created
             # here on zero-size dummies); cross-group blocks of the weights
             # are zero, so the math matches the reference's per-group slicing
