@@ -205,20 +205,24 @@ class MsSVTBlock(nn.Module):
         # local gathers from the UNPADDED win1 buffers stay in bounds
         fps1 = jnp.minimum(fps[:nw], n1 - 1)
 
-        # --- feature gathers (ref :260-268). Row gathers are index-rate
-        # bound on TPU, so: the win1-region buffer is built by SCATTERING the
-        # V voxel rows through the voxel→(window, slot) inverse map (~12x
-        # fewer descriptors than gathering NW*cap mostly-padded slots), win1
-        # keys reuse that buffer via a LOCAL take_along_axis (fps indices
-        # address the buffer), queries slice/gather it locally too, and all
-        # metric coordinates are derived arithmetically from the gather
-        # buffers' integer offsets — no voxel-table gather at all.
+        # --- feature gathers (ref :260-268). The (NW, cap, C) win1-region
+        # buffer is GATHER-built from the fill kernel's row table; win1 keys
+        # reuse it via a LOCAL take_along_axis (fps indices address the
+        # buffer), queries slice/gather it locally too, and all metric
+        # coordinates are derived arithmetically from the gather buffers'
+        # integer offsets — no voxel-table gather at all.
+        # The scatter-built alternative (V row descriptors through the
+        # voxel→(window, slot) inverse map, MSSVT_WIN1_SCATTER=on) has ~12x
+        # fewer descriptors on paper but LOSES on chip: xplane-measured
+        # (2026-08-18) XLA row scatters run at ~72 ns/row vs ~1.9 ns/row for
+        # row gathers (block-1 scatter alone was 26 ms/step), so the e2e A/B
+        # is 63.5 -> 56.3 ms/frame in favor of the gather form.
         inv = g.get("inv_win1") if self.use_feature_interpolation else None
         nq = q["ind"].shape[1]
         n1_cap = win1b["ind"].shape[1]
         use_scatter = (
             inv is not None and "valid_base" in inv
-            and os.environ.get("MSSVT_WIN1_SCATTER", "on") != "off"
+            and os.environ.get("MSSVT_WIN1_SCATTER", "off") == "on"
             and n1_cap <= self.cap_scatter
         )
         if use_scatter:
@@ -471,9 +475,10 @@ class MsSVTCompressBlock(nn.Module):
 
         inv = g.get("inv_win1")
         if (inv is not None and "valid_base" in inv
-                and os.environ.get("MSSVT_WIN1_SCATTER", "on") != "off"):
-            # every voxel lands in exactly one window's buffer: scatter the
-            # V rows through the inverse map instead of NW*cap row gathers
+                and os.environ.get("MSSVT_WIN1_SCATTER", "off") == "on"):
+            # scatter-built variant (V row descriptors through the inverse
+            # map) — fewer descriptors on paper, but XLA row scatters measure
+            # ~35x slower per descriptor than gathers on chip (see MsSVTBlock)
             k_fea = _scatter_win1_features(
                 x, inv, k["ind"].shape[0], k["ind"].shape[1])
         else:
