@@ -21,6 +21,7 @@ buffer rides the same predicate against a static per-column offset vector.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -33,22 +34,36 @@ from jax.experimental.pallas import tpu as pltpu
 PACK5_ZERO = (16 << 10) | (16 << 5) | 16
 
 
-def _fill_kernel(*refs, cap, own_slab=None):
+def _fill_kernel(*refs, cap, own_slab=None, algo="logshift", perm=False):
+    idx = 3
+    box_ref, lt_ref, off_ref = refs[:3]
+    if perm:
+        pmat_ref, tri_ref = refs[idx:idx + 2]
+        idx += 2
+    if own_slab is not None:
+        elig_ref = refs[idx]
+        idx += 1
     if own_slab is None:
-        box_ref, lt_ref, off_ref, vox_ref, offo_ref = refs
+        vox_ref, offo_ref = refs[idx:idx + 2]
+        idx += 2
     else:
-        (box_ref, lt_ref, off_ref, elig_ref,
-         vox_ref, offo_ref, rank_ref, cnt_ref) = refs
+        vox_ref, offo_ref, rank_ref, cnt_ref = refs[idx:idx + 4]
+        idx += 4
+    scratch = refs[idx:]
+
     box = box_ref[:]                      # (R, Kp) int32, -1 = empty
     occ = box >= 0
     # exclusive rank of each hit within its row, in table order: one MXU dot
     # with the static strictly-upper-triangular ones matrix
-    # (dot(occ, M)[r, k] = sum_{k'} occ[r, k'] M[k', k], M[k', k]=1 iff k'<k)
-    occf = occ.astype(jnp.float32)
-    rank = jax.lax.dot(
-        occf, lt_ref[:],
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
+    # (dot(occ, M)[r, k] = sum_{k'} occ[r, k'] M[k', k], M[k', k]=1 iff k'<k).
+    # Operands are exact in bf16 (0/1), so the dot runs in the MXU's native
+    # bf16 x bf16 -> f32 mode instead of the multi-pass f32 mode.
+    occb = occ.astype(jnp.bfloat16)
+    if own_slab is not None or algo != "logshift" or not perm:
+        rank = jax.lax.dot(
+            occb, lt_ref[:],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
 
     if own_slab is not None:
         # emit the rank slab at the own-cell columns + the per-buffer counts
@@ -57,14 +72,47 @@ def _fill_kernel(*refs, cap, own_slab=None):
         s0, cv = own_slab
         rank_ref[:] = rank[:, s0:s0 + cv]
         cnt_ref[:] = jax.lax.dot(
-            occf, elig_ref[:], preferred_element_type=jnp.float32,
+            occb, elig_ref[:], preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
 
     offvec = off_ref[0:1, :]  # (1, Kp) packed offset per table column
+    # (TABLE-ordered for logshift, source-ordered for the slots loop)
 
-    # predicated fill: slot j takes the (unique) entry with rank == j;
-    # rows are VMEM-resident so each step is a cheap select + lane reduction.
-    # Early-exit on the tile's densest window.
+    if algo == "logshift":
+        if perm:
+            # ``box`` columns arrive in SOURCE layout (the permutation
+            # fold): transport the payload into TABLE layout with three
+            # exact bf16-plane MXU dots against the 0/1 permutation matrix
+            # (8-bit planes of box+1; voxel rows < 2^24, asserted by the
+            # caller), then rank/dist become plain triu quantities in the
+            # table frame where the left-pack invariant (dist >= 0,
+            # monotone) holds.
+            box1 = jnp.where(occ, box + 1, 0)  # 0 = empty
+            planes = []
+            pmat = pmat_ref[:]
+            for b in range(3):
+                pl_b = ((box1 >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+                planes.append(jax.lax.dot(
+                    pl_b, pmat, preferred_element_type=jnp.float32))
+            box_t = (planes[0] + planes[1] * 256.0
+                     + planes[2] * 65536.0).astype(jnp.int32) - 1
+            occ_t = box_t >= 0
+            rank_t = jax.lax.dot(
+                occ_t.astype(jnp.bfloat16), tri_ref[:],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            _fill_logshift(box_t, occ_t, rank_t, offvec, cap,
+                           vox_ref, offo_ref, scratch)
+        else:
+            _fill_logshift(box, occ, rank, offvec, cap, vox_ref, offo_ref,
+                           scratch)
+        return
+
+    # slot-loop fill: slot j takes the (unique) entry with rank == j;
+    # rows are VMEM-resident so each step is a select + lane reduction.
+    # Early-exit on the tile's densest window. O(cap) full-width sweeps,
+    # each with two cross-lane reductions — superseded by the log-shift
+    # pack below (kept for A/B via MSSVT_FILL_ALGO=slots).
     tile_max = jnp.max(jnp.sum(occ.astype(jnp.int32), axis=1))
     vox_ref[:] = jnp.full(vox_ref.shape, -1, jnp.int32)
     offo_ref[:] = jnp.full(offo_ref.shape, PACK5_ZERO, jnp.int32)
@@ -75,6 +123,58 @@ def _fill_kernel(*refs, cap, own_slab=None):
             vox_ref[:, j] = jnp.max(jnp.where(sel, box, -1), axis=1)
             oc = jnp.max(jnp.where(sel, offvec, -1), axis=1)
             offo_ref[:, j] = jnp.where(oc >= 0, oc, PACK5_ZERO)
+
+
+def _fill_logshift(box, occ, rank, offvec, cap, vox_ref, offo_ref, scratch):
+    """Left-pack occupied columns to their rank position in log2(Kp) steps.
+
+    Bit-plane compaction: every occupied element must move LEFT by
+    ``dist = col - rank`` lanes. Process bit s = 0..ceil(log2(Kp))-1; at
+    step s the elements whose remaining distance has bit s set hop 2^s
+    lanes left (one static lane-roll + selects — no cross-lane reductions).
+
+    Correctness (no collisions, no overtaking): over occupied columns the
+    exclusive rank increases by exactly 1 per element, so ``dist`` is
+    NON-DECREASING in column order. Inductively every element's remaining
+    distance is ≡ 0 (mod 2^s) at step s. Suppose mover B (bit s set) lands
+    on stayer A (bit s clear) at column k_A = k_B - 2^s. Monotonicity gives
+    dist_B >= dist_A, while B's final slot lying right of A's final slot
+    forces dist_B < dist_A + 2^s; with both distances ≡ {2^s, 0} (mod
+    2^{s+1}) respectively, dist_B <= dist_A - 2^s — contradiction. Movers
+    landing on movers keep their relative order (same hop), and lane
+    wrap-around is inert: a column c < 2^s has dist <= c < 2^s, so its bit
+    s is clear and the wrapped copy never asserts move-in.
+
+    The payloads travel as TWO planes: the voxel row, and
+    ``comb = (packed_offset << 10) | dist`` — the hop subtracts 2^s from
+    comb directly (dist occupies the low 10 bits and never borrows into
+    the offset field because a mover's dist has bit s set).
+    """
+    kp = box.shape[1]
+    nbits = max((kp - 1).bit_length(), 1)
+    assert kp <= (1 << 10), "dist field holds 10 bits"
+    col = jax.lax.broadcasted_iota(jnp.int32, box.shape, 1)
+    dist = jnp.where(occ, col - rank, 0)
+    vox_s, comb_s = scratch
+    vox_s[:] = jnp.where(occ, box, -1)
+    offr = jnp.broadcast_to(offvec, box.shape)
+    comb_s[:] = jnp.where(occ, (offr << 10) | dist, PACK5_ZERO << 10)
+    maxd = jnp.max(dist)
+    for s in range(nbits):
+        @pl.when((1 << s) <= maxd)
+        def _():
+            v = vox_s[:]
+            c = comb_s[:]
+            sh = kp - (1 << s)
+            sv = pltpu.roll(v, sh, 1)
+            sc = pltpu.roll(c, sh, 1)
+            move_in = (sv >= 0) & (((sc >> s) & 1) == 1)
+            stay = (v >= 0) & (((c >> s) & 1) == 0)
+            vox_s[:] = jnp.where(move_in, sv, jnp.where(stay, v, -1))
+            comb_s[:] = jnp.where(move_in, sc - (1 << s), c)
+    v = vox_s[:, :cap]
+    vox_ref[:] = v
+    offo_ref[:] = jnp.where(v >= 0, comb_s[:, :cap] >> 10, PACK5_ZERO)
 
 
 def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
@@ -112,17 +212,25 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
         box = jnp.pad(box, ((0, pad_rows), (0, 0)), constant_values=-1)
     nwp = nw + pad_rows
 
+    algo = _os.environ.get("MSSVT_FILL_ALGO", "logshift")
+    perm = order is not None and algo == "logshift"
     offv = np.zeros((8, kp), np.int32)
     if order is None:
-        lt = jnp.asarray(np.triu(np.ones((kp, kp), np.float32), k=1))
+        lt = jnp.asarray(np.triu(np.ones((kp, kp), np.float32), k=1),
+                         jnp.bfloat16)
         offv[0, :k] = np.asarray(offs_packed, np.int32)
     else:
         o = kp + np.arange(kp, dtype=np.int64)  # pad columns rank last
         o[:k] = np.asarray(order, np.int64)
-        lt = jnp.asarray((o[:, None] < o[None, :]).astype(np.float32))
-        offv[0, :k] = np.asarray(offs_packed, np.int32)[
-            np.asarray(order, np.int64)]
-    kernel = functools.partial(_fill_kernel, cap=cap, own_slab=own_slab)
+        lt = jnp.asarray((o[:, None] < o[None, :]).astype(np.float32),
+                         jnp.bfloat16)
+        if perm:  # logshift packs in the TABLE frame: table-ordered offsets
+            offv[0, :k] = np.asarray(offs_packed, np.int32)
+        else:     # slots loop selects in the source frame
+            offv[0, :k] = np.asarray(offs_packed, np.int32)[
+                np.asarray(order, np.int64)]
+    kernel = functools.partial(_fill_kernel, cap=cap, own_slab=own_slab,
+                               algo=algo, perm=perm)
     in_specs = [
         pl.BlockSpec((row_block, kp), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -142,6 +250,16 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
         jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
     ]
     operands = [box, lt, jnp.asarray(offv)]
+    if perm:
+        # 0/1 source->table permutation + table-frame strict upper triangle
+        # (both exact in bf16)
+        pmat = np.zeros((kp, kp), np.float32)
+        pmat[np.arange(k), np.asarray(order, np.int64)] = 1
+        operands += [jnp.asarray(pmat, jnp.bfloat16),
+                     jnp.asarray(np.triu(np.ones((kp, kp), np.float32),
+                                         k=1), jnp.bfloat16)]
+        in_specs += [pl.BlockSpec((kp, kp), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
     if own_slab is not None:
         cv = int(own_slab[1])
         elig8 = np.zeros((kp, 8), np.float32)
@@ -150,7 +268,7 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
             elig8[:k, :e.shape[1]] = e
         in_specs.append(pl.BlockSpec((kp, 8), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(jnp.asarray(elig8))
+        operands.append(jnp.asarray(elig8, jnp.bfloat16))
         out_specs += [
             pl.BlockSpec((row_block, cv), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -161,12 +279,17 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
             jax.ShapeDtypeStruct((nwp, cv), jnp.int32),
             jax.ShapeDtypeStruct((nwp, 8), jnp.int32),
         ]
+    scratch_shapes = (
+        [pltpu.VMEM((row_block, kp), jnp.int32)] * 2
+        if algo == "logshift" else []
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(nwp // row_block,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*operands)
     return tuple(o[:nw] for o in outs)

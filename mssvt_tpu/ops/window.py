@@ -380,6 +380,9 @@ def _gather_via_own_cells(
     k_total = tables.offsets.shape[0]
     nw = win_coords.shape[0]
     v = coords.shape[0]
+    # the fill kernel's log-shift path transports voxel rows as three exact
+    # 8-bit bf16 planes (pallas_fill.py)
+    assert v < (1 << 24) - 1, "voxel capacity exceeds 24-bit row transport"
     n_cells = batch_size * win_grid[0] * win_grid[1] * win_grid[2]
 
     # 1. own-cell table
