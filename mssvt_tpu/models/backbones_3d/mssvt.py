@@ -225,31 +225,38 @@ class MsSVTBlock(nn.Module):
             and os.environ.get("MSSVT_WIN1_SCATTER", "off") == "on"
             and n1_cap <= self.cap_scatter
         )
+        q_fea = k_fea1 = scat = None
+        q_prefix_ok = q_name in ("odd", "win1") and nq <= n1_cap
         if use_scatter:
             scat = _scatter_win1_features(
                 x, inv, win1b["ind"].shape[0], self.cap_scatter)
             win1_fea = scat[:, :n1_cap]
         else:
-            scat = None
             win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
-        if q_name in ("odd", "win1") and nq <= win1_fea.shape[1]:
-            # odd-table offsets occupy the FIRST table positions, so the odd
-            # buffer is an exact prefix of the win1 buffer (and the win1
-            # buffer is trivially its own prefix) — reuse the already-built
-            # rows instead of a second global gather
-            q_fea = win1_fea[:, :nq] * (~q["mask"])[..., None]
-        elif q_name == "even" and scat is not None and "start" in g["even"]:
-            # even-table offsets follow the odd ones, so the even buffer is
-            # the win1-region run starting at the window's odd count — a
-            # LOCAL gather from the scattered buffer (one-hot einsum, ~free)
-            sel = jnp.minimum(
-                g["even"]["start"][:, None]
-                + jnp.arange(nq, dtype=jnp.int32)[None],
-                self.cap_scatter - 1)
-            q_fea = gather_along_batch(scat, sel) * (~q["mask"])[..., None]
+        if use_scatter:
+            if q_prefix_ok:
+                # odd-table offsets occupy the FIRST table positions, so the
+                # odd buffer is an exact prefix of the win1 buffer (and win1
+                # is trivially its own prefix) — reuse the built rows
+                q_fea = win1_fea[:, :nq] * (~q["mask"])[..., None]
+            elif q_name == "even" and "start" in g["even"]:
+                # even-table offsets follow the odd ones, so the even buffer
+                # is the win1-region run starting at the window's odd count
+                sel = jnp.minimum(
+                    g["even"]["start"][:, None]
+                    + jnp.arange(nq, dtype=jnp.int32)[None],
+                    self.cap_scatter - 1)
+                q_fea = gather_along_batch(scat, sel) \
+                    * (~q["mask"])[..., None]
+            else:
+                q_fea = group_features(x, q["ind"])  # (NW, nq, C)
+            k_fea1 = gather_along_batch(win1_fea, fps1) \
+                * (~k_mask1)[..., None]
         else:
-            q_fea = group_features(x, q["ind"])  # (NW, nq, C)
-        k_fea1 = gather_along_batch(win1_fea, fps1) * (~k_mask1)[..., None]
+            # assembled path: the local FPS take_along, q prefix/masking,
+            # k1/k2 concat and pos-MLP add all happen inside the attention
+            # module (in VMEM on the TPU fast path — see MixedScaleAttention)
+            q_ext = None if q_prefix_ok else group_features(x, q["ind"])
         k_fea2 = group_features(x, k_ind2)
 
         # metric center of a buffer slot = window-center voxel + offset,
@@ -304,15 +311,27 @@ class MsSVTBlock(nn.Module):
 
         # --- position embeddings (ref :278-282), via the plane decomposition
         # (no (NW, cap, 6) stack, no K=6 matmul — that form measured
-        # ~21 ms/frame by ablation). Folding the MLP into the attention
-        # kernel instead was tried and measured ~4ms SLOWER.
-        q_pos = self.pos_proj.from_planes(
-            q_rel[0], q_rel[1], q_rel[2], wcx, wcy, wcz)
-        k_pos = self.pos_proj.from_planes(
-            k_rel[0], k_rel[1], k_rel[2], wcx, wcy, wcz)
-        q_fea = q_fea + q_pos
-        k_fea = jnp.concatenate([k_fea1, k_fea2], axis=1) + k_pos
+        # ~21 ms/frame by ablation).
         k_mask = jnp.concatenate([k_mask1, k_mask2], axis=1)  # (NW, 2*nk)
+        if use_scatter:
+            q_pos = self.pos_proj.from_planes(
+                q_rel[0], q_rel[1], q_rel[2], wcx, wcy, wcz)
+            k_pos = self.pos_proj.from_planes(
+                k_rel[0], k_rel[1], k_rel[2], wcx, wcy, wcz)
+            q_fea = q_fea + q_pos
+            k_fea = jnp.concatenate([k_fea1, k_fea2], axis=1) + k_pos
+            attn_in = dict(query=q_fea, keys=k_fea)
+        else:
+            # the pos MLP, concat and masking ride inside the attention
+            # module; only the (NW, C) center half is precomputed here
+            attn_in = dict(assembled=dict(
+                win1_fea=win1_fea, k2_fea=k_fea2, fps1=fps1,
+                k_mask1=k_mask1, q_ext=q_ext,
+                q_keep=(~q["mask"]).astype(jnp.float32),
+                q_rel=q_rel, k_rel=k_rel,
+                pos_base=self.pos_proj.base_from_centers(wcx, wcy, wcz),
+                pos_w=self.pos_proj.rel_kernel(), nq=nq,
+            ))
 
         # --- mixed-scale attention (ref :289-295), with the 3-NN inverse-
         # distance propagation to all win1 voxels (ref :297-310) fused into
@@ -334,17 +353,19 @@ class MsSVTBlock(nn.Module):
         if fuse_interp:
             q_keep = (~q["mask"]).astype(jnp.float32)
             upd_fea = self.ms_attn(
-                query=q_fea, keys=k_fea, query_mask=q["mask"],
+                query_mask=q["mask"],
                 key_masks=k_mask, deterministic=deterministic,
                 interp_planes=(win1_m[0], win1_m[1], win1_m[2],
                                q_m[0], q_m[1], q_m[2], q_keep),
                 interp_n1=win1b["ind"].shape[1],
+                **attn_in,
             )  # (NW, n1, C)
             upd_ind = win1b["ind"]
         else:
             attn_fea = self.ms_attn(
-                query=q_fea, keys=k_fea, query_mask=q["mask"],
+                query_mask=q["mask"],
                 key_masks=k_mask, deterministic=deterministic,
+                **attn_in,
             )  # (NW, nq, C)
             if self.use_feature_interpolation:
                 interp_mode = os.environ.get("MSSVT_INTERP", "xla")

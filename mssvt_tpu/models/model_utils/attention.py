@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.pallas_attention import (
-    fused_window_attention, fused_window_attention_interp)
+    fused_window_attention, fused_window_attention_assembled,
+    fused_window_attention_interp)
 
 KEY_PAD_NEG = -100.0
 
@@ -61,18 +62,121 @@ class MixedScaleAttention(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
+    def _folded_projections(self):
+        """Fold the per-group q/kv/proj Dense params into single
+        BLOCK-DIAGONAL (D, D) weights + (D,) biases for the fused kernels.
+        Param layout is identical to the einsum path (same Dense submodules,
+        created here on zero-size dummies); cross-group blocks are zero, so
+        the math matches the reference's per-group slicing exactly."""
+        d = self.embed_dim
+        per_head = d // sum(self.num_heads)
+        wq = jnp.zeros((d, d), jnp.float32)
+        wk = jnp.zeros((d, d), jnp.float32)
+        wv = jnp.zeros((d, d), jnp.float32)
+        wp = jnp.zeros((d, d), jnp.float32)
+        bq = jnp.zeros((d,), jnp.float32)
+        bk = jnp.zeros((d,), jnp.float32)
+        bv = jnp.zeros((d,), jnp.float32)
+        bp = jnp.zeros((d,), jnp.float32)
+        start = 0
+        for i, h in enumerate(self.num_heads):
+            sd = per_head * h
+            zed = jnp.zeros((1, 1, sd), self.dtype)
+            nn.Dense(sd, dtype=self.dtype, name=f"to_q_{i}")(zed)
+            nn.Dense(2 * sd, dtype=self.dtype, name=f"to_kv_{i}")(zed)
+            nn.Dense(sd, dtype=self.dtype, name=f"proj_{i}")(zed)
+            pq = self.scope.get_variable("params", f"to_q_{i}")
+            pkv = self.scope.get_variable("params", f"to_kv_{i}")
+            pp = self.scope.get_variable("params", f"proj_{i}")
+            sl = slice(start, start + sd)
+            wq = wq.at[sl, sl].set(pq["kernel"])
+            bq = bq.at[sl].set(pq["bias"])
+            wk = wk.at[sl, sl].set(pkv["kernel"][:, :sd])
+            bk = bk.at[sl].set(pkv["bias"][:sd])
+            wv = wv.at[sl, sl].set(pkv["kernel"][:, sd:])
+            bv = bv.at[sl].set(pkv["bias"][sd:])
+            wp = wp.at[sl, sl].set(pp["kernel"])
+            bp = bp.at[sl].set(pp["bias"])
+            start += sd
+        return (wq, bq, wk, bk, wv, bv, wp, bp)
+
     @nn.compact
     def __call__(
         self,
-        query: jnp.ndarray,  # (b, nq, C)
-        keys: jnp.ndarray,  # (b, tot_nk, C)
+        query: Optional[jnp.ndarray] = None,  # (b, nq, C)
+        keys: Optional[jnp.ndarray] = None,  # (b, tot_nk, C)
         query_mask: Optional[jnp.ndarray] = None,  # (b, nq) True = PAD
         key_masks: Optional[jnp.ndarray] = None,  # (b, tot_nk) True = PAD
         deterministic: bool = True,
         interp_planes: Optional[tuple] = None,  # (wmx,wmy,wmz (b,n1),
                                                 #  qmx,qmy,qmz,q_keep (b,nq))
         interp_n1: Optional[int] = None,
+        assembled: Optional[dict] = None,  # raw gather products (see below)
     ) -> jnp.ndarray:
+        if assembled is not None:
+            # K/Q assembly from raw gather products. Keys of ``assembled``:
+            #   win1_fea (b, n1cap, C), k2_fea (b, nk2, C),
+            #   fps1/k_mask1 (b, nk1), q_ext (b, nq, C) or None (prefix),
+            #   q_keep (b, nq) f32, q_rel/k_rel 3-plane tuples,
+            #   pos_base (b, C) pre-relu center half, pos_w (3, C), nq.
+            # On the TPU inference fast path the assembly happens in VMEM
+            # inside the assembled kernel (the outside concat/pos/mask
+            # sweeps measured ~25 ms/step for block 1, xplane 2026-08-18);
+            # everywhere else (CPU, training, interp fusion) it falls back
+            # to the identical XLA formulation below and continues through
+            # the existing fused/einsum paths.
+            a = assembled
+            nq_a = int(a["nq"])
+            use_kernel = (
+                deterministic and interp_planes is None
+                and _use_fused_kernel(nq_a, deterministic,
+                                      dropout=self.dropout)
+            )
+            if use_kernel:
+                proj = self._folded_projections()
+                bias = jnp.where(key_masks, KEY_PAD_NEG, 0.0).astype(
+                    jnp.float32)
+                q_prefix = a.get("q_ext") is None
+                q_ext = (a["q_ext"] if not q_prefix
+                         else jnp.zeros((a["win1_fea"].shape[0], 1,
+                                         self.embed_dim), self.dtype))
+                out = fused_window_attention_assembled(
+                    a["win1_fea"], a["k2_fea"], a["fps1"], a["k_mask1"],
+                    q_ext, a["q_keep"], tuple(a["k_rel"]),
+                    tuple(a["q_rel"]), a["pos_base"], a["pos_w"],
+                    proj, bias, num_heads=tuple(self.num_heads),
+                    scale=(self.embed_dim // sum(self.num_heads)) ** -0.5,
+                    q_prefix=q_prefix, nq=nq_a,
+                    interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
+                    compute_dtype=self.dtype,
+                )
+                if query_mask is not None:
+                    out = out * (~query_mask)[..., None].astype(out.dtype)
+                return out
+            # XLA fallback assembly (bit-compatible formulation)
+            from ...ops.sampling import gather_along_batch
+            win1 = a["win1_fea"]
+            pw = a["pos_w"].astype(self.dtype)
+            base = a["pos_base"].astype(self.dtype)
+
+            def pos(rel):
+                rx, ry, rz = rel
+                return nn.relu(rx[..., None].astype(self.dtype) * pw[0]
+                               + ry[..., None].astype(self.dtype) * pw[1]
+                               + rz[..., None].astype(self.dtype) * pw[2]
+                               + base[:, None, :])
+
+            k1 = gather_along_batch(win1, a["fps1"]) \
+                * (~a["k_mask1"])[..., None]
+            keys = (jnp.concatenate([k1, a["k2_fea"]], axis=1)
+                    + pos(a["k_rel"]))
+            if a.get("q_ext") is None:
+                q_raw = win1[:, :nq_a] * a["q_keep"][..., None].astype(
+                    win1.dtype)
+            else:
+                q_raw = a["q_ext"]
+            query = q_raw + pos(a["q_rel"])
+
         b, nq, _ = query.shape
         _, tot_nk, _ = keys.shape
         groups = len(self.num_heads)
@@ -94,35 +198,7 @@ class MixedScaleAttention(nn.Module):
             # are zero, so the math matches the reference's per-group slicing
             # exactly — off-group key/value channels carry garbage that the
             # kernel's static channel mask never reads.
-            d = self.embed_dim
-            wq = jnp.zeros((d, d), jnp.float32)
-            wk = jnp.zeros((d, d), jnp.float32)
-            wv = jnp.zeros((d, d), jnp.float32)
-            wp = jnp.zeros((d, d), jnp.float32)
-            bq = jnp.zeros((d,), jnp.float32)
-            bk = jnp.zeros((d,), jnp.float32)
-            bv = jnp.zeros((d,), jnp.float32)
-            bp = jnp.zeros((d,), jnp.float32)
-            start = 0
-            for i, h in enumerate(self.num_heads):
-                sd = per_head * h
-                zed = jnp.zeros((1, 1, sd), self.dtype)
-                nn.Dense(sd, dtype=self.dtype, name=f"to_q_{i}")(zed)
-                nn.Dense(2 * sd, dtype=self.dtype, name=f"to_kv_{i}")(zed)
-                nn.Dense(sd, dtype=self.dtype, name=f"proj_{i}")(zed)
-                pq = self.scope.get_variable("params", f"to_q_{i}")
-                pkv = self.scope.get_variable("params", f"to_kv_{i}")
-                pp = self.scope.get_variable("params", f"proj_{i}")
-                sl = slice(start, start + sd)
-                wq = wq.at[sl, sl].set(pq["kernel"])
-                bq = bq.at[sl].set(pq["bias"])
-                wk = wk.at[sl, sl].set(pkv["kernel"][:, :sd])
-                bk = bk.at[sl].set(pkv["bias"][:sd])
-                wv = wv.at[sl, sl].set(pkv["kernel"][:, sd:])
-                bv = bv.at[sl].set(pkv["bias"][sd:])
-                wp = wp.at[sl, sl].set(pp["kernel"])
-                bp = bp.at[sl].set(pp["bias"])
-                start += sd
+            wq, bq, wk, bk, wv, bv, wp, bp = self._folded_projections()
 
             if key_masks is not None:
                 bias = jnp.where(key_masks, KEY_PAD_NEG, 0.0).astype(jnp.float32)

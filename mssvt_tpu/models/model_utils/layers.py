@@ -126,6 +126,26 @@ class PosProjection(nn.Module):
             x = nn.relu(self.proj1(x))
         return x
 
+    def rel_kernel(self):
+        """(3, C) relative-coordinate rows of the shallow Dense kernel —
+        consumed by the assembled attention kernel together with
+        ``base_from_centers`` (pallas_attention.py)."""
+        assert not self.deep
+        self.proj0(jnp.zeros((1, 6), self.dtype))  # materialize params
+        p = self.get_variable("params", "proj0")
+        return jnp.asarray(p["kernel"], self.dtype)[:3]
+
+    def base_from_centers(self, cx, cy, cz):
+        """Pre-relu per-window center half of the shallow embedding:
+        ``stack(cx, cy, cz) @ W[3:] + b`` — (NW, C)."""
+        assert not self.deep
+        self.proj0(jnp.zeros((1, 6), self.dtype))
+        p = self.get_variable("params", "proj0")
+        w = jnp.asarray(p["kernel"], self.dtype)
+        b = jnp.asarray(p["bias"], self.dtype)
+        ctr = jnp.stack([cx, cy, cz], axis=-1).astype(self.dtype)
+        return ctr @ w[3:] + b
+
     def from_planes(self, rx, ry, rz, cx, cy, cz):
         """Shallow-path embedding from (NW, cap) relative-coordinate planes
         plus per-window center scalars (NW,) — no 6-channel stack.

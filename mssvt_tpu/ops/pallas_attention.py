@@ -754,3 +754,197 @@ def _fused_attention_interp_bwd(num_heads, scale, n1, window_block,
 
 _fused_attention_interp.defvjp(_fused_attention_interp_fwd,
                                _fused_attention_interp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Assembled-inputs forward kernel: K/Q assembly moves into VMEM.
+#
+# xplane profiling (2026-08-18, gather-mode graph at 225 ms/step) showed the
+# HBM materialization of the attention inputs — win1-key local take_along,
+# k1/k2 concat, pos-MLP add, mask sweeps — costing ~25 ms/step for block 1
+# alone (maximum_add 9.2, pad_maximum 4.8, select_select 3.6, local one-hot
+# 3.4, q chain 2.9, pos conv 1.2), all full passes over multi-GB slabs that
+# exist only to be read once by the attention kernel. This variant takes the
+# RAW gather products instead and assembles in VMEM per supertile:
+#
+#   k1  = one-hot(fps picks) @ win1_slab        (batched MXU dot, ~3% MACs)
+#   pos = relu(rx*w0 + ry*w1 + rz*w2 + base)    (VPU, plane inputs)
+#   k   = concat(k1, k2) + pos_k;  q = win1[:, :nq]*keep + pos_q
+#
+# Inference-only (no custom VJP): training keeps the assembled-outside path
+# through ``fused_window_attention`` whose backward is already fused.
+# ---------------------------------------------------------------------------
+
+
+def _attn_assembled_kernel(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
+                           qmask_ref, krx_ref, kry_ref, krz_ref,
+                           qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
+                           bias_ref, w_ref, b_ref, o_ref,
+                           *, num_heads, wb, nq, n1cap, nk1, nk_tot, scale,
+                           q_prefix, out_dtype, compute_dtype):
+    bf = compute_dtype
+    d = w_ref.shape[-1]
+    win1 = win1_ref[:].reshape(wb, n1cap, d)          # (wb, n1cap, D) bf16
+    k2 = k2_ref[:].reshape(wb, nk_tot - nk1, d)
+
+    # k1: local FPS picks from the win1 slab as a batched one-hot MXU dot
+    # (masked picks produce a zero row, matching the outside
+    # ``gather_along_batch(win1_fea, fps1) * ~k_mask1``)
+    fps = fps_ref[:]                                   # (wb, nk1) int32
+    slot = jax.lax.broadcasted_iota(jnp.int32, (wb, nk1, n1cap), 2)
+    # minor-dim insertions must stay 32-bit for Mosaic: compare in int32
+    oh = ((fps[:, :, None] == slot)
+          & (km1_ref[:][:, :, None] == 0)).astype(bf)
+    k1 = jax.lax.dot_general(
+        oh, win1, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(bf)  # (wb, nk1, D)
+
+    # position embedding: relu(rx*w0 + ry*w1 + rz*w2 + base) — the exact
+    # PosProjection.from_planes computation (layers.py:129-154) with the
+    # per-window center half precomputed outside as ``base``
+    w0 = posw_ref[0:1, :].astype(bf)                  # (1, D)
+    w1 = posw_ref[1:2, :].astype(bf)
+    w2 = posw_ref[2:3, :].astype(bf)
+    base = base_ref[:].astype(bf)[:, None, :]          # (wb, 1, D)
+
+    def pos(rx, ry, rz):
+        return jnp.maximum(
+            rx[:, :, None].astype(bf) * w0[None]
+            + ry[:, :, None].astype(bf) * w1[None]
+            + rz[:, :, None].astype(bf) * w2[None]
+            + base, 0.0)
+
+    k_pos = pos(krx_ref[:], kry_ref[:], krz_ref[:])    # (wb, nk_tot, D)
+    q_pos = pos(qrx_ref[:], qry_ref[:], qrz_ref[:])    # (wb, nq, D)
+
+    k3 = jnp.concatenate([k1, k2], axis=1) + k_pos.astype(bf)
+    if q_prefix:
+        q_raw = win1[:, :nq]
+    else:
+        q_raw = qext_ref[:].reshape(wb, nq, d)
+    q3 = q_raw * qmask_ref[:][:, :, None].astype(bf) + q_pos.astype(bf)
+
+    q2 = q3.reshape(wb * nq, d)
+    k2f = k3.reshape(wb * nk_tot, d)
+
+    wq, wk, wv, wp = (w_ref[i] for i in range(4))
+    bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))
+    q = (jax.lax.dot(q2, wq, preferred_element_type=jnp.float32)
+         + bq).astype(bf)
+    k = (jax.lax.dot(k2f, wk, preferred_element_type=jnp.float32)
+         + bk).astype(bf)
+    v = (jax.lax.dot(k2f, wv, preferred_element_type=jnp.float32)
+         + bv).astype(bf)
+
+    bias3 = bias_ref[:][:, None, :].astype(jnp.float32)  # (wb, 1, nk_tot)
+    o, _ = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot,
+                              float(scale), bf)
+    o = jax.lax.dot(o.astype(bf), wp, preferred_element_type=jnp.float32) + bp
+    o_ref[:] = o.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "q_prefix", "nq", "window_block",
+                     "interpret", "compute_dtype"),
+)
+def fused_window_attention_assembled(
+    win1_fea: jnp.ndarray,   # (NW, n1cap, D) RAW win1-buffer features
+    k2_fea: jnp.ndarray,     # (NW, nk2, D) RAW win2-key features (masked 0)
+    fps1: jnp.ndarray,       # (NW, nk1) int32 local win1-buffer picks
+    k_mask1: jnp.ndarray,    # (NW, nk1) bool True = masked pick
+    q_ext: jnp.ndarray,      # (NW, nq, D) RAW queries, or (NW, 1, D) dummy
+                             # when q_prefix (queries = win1_fea[:, :nq])
+    q_keep: jnp.ndarray,     # (NW, nq) f32 1.0 = live query
+    k_rel: Tuple[jnp.ndarray, ...],   # 3 x (NW, nk_tot) f32 rel-coord planes
+    q_rel: Tuple[jnp.ndarray, ...],   # 3 x (NW, nq) f32
+    pos_base: jnp.ndarray,   # (NW, D) pre-relu center half of the pos MLP
+    pos_w: jnp.ndarray,      # (3, D) rel-coord rows of the pos MLP kernel
+    proj: Tuple[jnp.ndarray, ...],    # (wq, bq, wk, bk, wv, bv, wp, bp)
+    key_bias: jnp.ndarray,   # (NW, nk_tot) additive (-100 where padded)
+    num_heads: Tuple[int, ...],
+    scale: float,
+    q_prefix: bool,
+    nq: int = 0,             # rows of the q output when q_prefix
+    window_block: int = 32,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Window attention with in-VMEM K/Q assembly. Returns (NW, nq, D).
+
+    Numerically equivalent to assembling
+    ``q = win1_fea[:, :nq] * keep + relu(pos)``,
+    ``k = concat(take(win1_fea, fps1) * ~mask, k2_fea) + relu(pos)`` outside
+    and calling ``fused_window_attention`` — the assembly sweeps just never
+    touch HBM. Inference-only: no custom VJP (training uses the
+    assembled-outside path).
+    """
+    nw, n1cap, d = win1_fea.shape
+    nk1 = fps1.shape[1]
+    nk2 = k2_fea.shape[1]
+    nk_tot = nk1 + nk2
+    nq = int(nq) if q_prefix else q_ext.shape[1]
+    assert nq > 0
+    wb = int(ATTN_WB or window_block)
+    bf = compute_dtype
+
+    pad = (-nw) % wb
+    def prow(x, val=0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=val) if pad else x
+    win1p = prow(win1_fea.astype(bf))
+    k2p = prow(k2_fea.astype(bf))
+    fpsp = prow(fps1)
+    km1p = prow(k_mask1.astype(jnp.int32), val=1)
+    qxp = prow(q_ext.astype(bf))
+    qkp = prow(q_keep.astype(jnp.float32))
+    krel = tuple(prow(p.astype(jnp.float32)) for p in k_rel)
+    qrel = tuple(prow(p.astype(jnp.float32)) for p in q_rel)
+    basep = prow(pos_base.astype(bf))
+    biasp = prow(key_bias.astype(jnp.float32))
+    nwp = nw + pad
+
+    wq, bq, wk, bk, wv, bv, wp, bp = proj
+    wmats = jnp.stack([wq, wk, wv, wp]).astype(bf)   # (4, D, D)
+    bvec = jnp.pad(jnp.stack([bq, bk, bv, bp]).astype(bf),
+                   ((0, 4), (0, 0)))                 # (8, D)
+    posw = jnp.pad(pos_w.astype(bf), ((0, 5), (0, 0)))  # (8, D) sublane tile
+
+    nqx = qxp.shape[1]
+    kernel = functools.partial(
+        _attn_assembled_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
+        n1cap=n1cap, nk1=nk1, nk_tot=nk_tot, scale=float(scale),
+        q_prefix=bool(q_prefix), out_dtype=win1_fea.dtype,
+        compute_dtype=bf)
+    row = lambda r: pl.BlockSpec((wb * r, d), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    pln = lambda c: pl.BlockSpec((wb, c), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nwp // wb,),
+        in_specs=[
+            row(n1cap), row(nk2),
+            pln(nk1), pln(nk1),
+            row(nqx), pln(nq),
+            pln(nk_tot), pln(nk_tot), pln(nk_tot),
+            pln(nq), pln(nq), pln(nq),
+            pl.BlockSpec((wb, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pln(nk_tot),
+            pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nwp * nq, d), win1_fea.dtype),
+        interpret=interpret,
+    )(win1p.reshape(nwp * n1cap, d), k2p.reshape(nwp * nk2, d),
+      fpsp, km1p, qxp.reshape(nwp * nqx, d), qkp,
+      krel[0], krel[1], krel[2], qrel[0], qrel[1], qrel[2],
+      basep, posw, biasp, wmats, bvec)
+    return out.reshape(nwp, nq, d)[:nw]

@@ -272,3 +272,48 @@ def test_fused_kernel_grad_parity_bwd_variants(variant, wb, monkeypatch):
                           gf[2], gr[2]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=2e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("q_prefix", [True, False])
+def test_module_assembled_kernel_matches_fallback(monkeypatch, q_prefix):
+    """The assembled-inputs kernel (in-VMEM K/Q assembly) must match the
+    module's XLA fallback assembly + einsum path on identical params."""
+    rng = np.random.default_rng(11)
+    nw, n1cap, nk1, nk2, nq, d = 10, 24, 8, 8, 12, 64
+    num_heads = (2, 2)
+    win1 = jnp.asarray(rng.normal(size=(nw, n1cap, d)).astype(np.float32))
+    k2 = jnp.asarray(rng.normal(size=(nw, nk2, d)).astype(np.float32))
+    fps1 = jnp.asarray(rng.integers(0, n1cap, (nw, nk1)).astype(np.int32))
+    km1 = jnp.asarray(rng.random((nw, nk1)) < 0.3)
+    km2 = jnp.asarray(rng.random((nw, nk2)) < 0.2)
+    km = jnp.concatenate([km1, km2], axis=1)
+    qm = jnp.asarray(rng.random((nw, nq)) < 0.2)
+    q_ext = (None if q_prefix
+             else jnp.asarray(rng.normal(size=(nw, nq, d))
+                              .astype(np.float32))
+             )
+    if q_ext is not None:  # ext rows arrive zeroed for masked queries
+        q_ext = q_ext * (~qm)[..., None]
+    asm = dict(
+        win1_fea=win1, k2_fea=k2, fps1=fps1, k_mask1=km1, q_ext=q_ext,
+        q_keep=(~qm).astype(jnp.float32),
+        q_rel=tuple(jnp.asarray(rng.normal(size=(nw, nq))
+                                .astype(np.float32)) for _ in range(3)),
+        k_rel=tuple(jnp.asarray(rng.normal(size=(nw, nk1 + nk2))
+                                .astype(np.float32)) for _ in range(3)),
+        pos_base=jnp.asarray(rng.normal(size=(nw, d)).astype(np.float32)),
+        pos_w=jnp.asarray(rng.normal(size=(3, d)).astype(np.float32)),
+        nq=nq,
+    )
+    m = MixedScaleAttention(embed_dim=d, num_heads=num_heads)
+    params = m.init(jax.random.PRNGKey(0), query_mask=qm, key_masks=km,
+                    assembled=asm)
+
+    monkeypatch.setenv("MSSVT_PALLAS", "off")   # fallback assembly + einsum
+    want = np.asarray(m.apply(params, query_mask=qm, key_masks=km,
+                              assembled=asm))
+    monkeypatch.setenv("MSSVT_PALLAS", "interpret")  # assembled kernel
+    got = np.asarray(m.apply(params, query_mask=qm, key_masks=km,
+                             assembled=asm))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    assert np.all(got[np.asarray(qm)] == 0)
