@@ -144,6 +144,10 @@ def unique_compact_dense(keys: jnp.ndarray, capacity: int, n_cells: int):
     slot = jnp.cumsum(occ) - 1  # ascending-key rank among occupied cells
     num_unique = jnp.sum(occ).astype(jnp.int32)
     cell_keys = jnp.arange(n_cells, dtype=jnp.int32)
+    # NOTE(perf): a searchsorted rank-select (capacity queries over the
+    # monotone cumsum) was A/B-measured on chip at 60.7 ms/step vs 11.0 for
+    # this full-table scatter — jnp.searchsorted's scan lowering is NOT a
+    # cheap batched binary search on TPU. Keep the scatter.
     dest = jnp.where(occ & (slot < capacity), slot,
                      capacity + cell_keys)
     out_keys = jnp.full((capacity,), INVALID_KEY, jnp.int32).at[dest].set(

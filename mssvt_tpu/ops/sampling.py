@@ -332,8 +332,14 @@ def group_features(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     `features` via XLA scatter-add — deterministic, replacing the reference's
     atomicAdd backward (group_features_gpu.cu:46-106).
     """
-    gathered = jnp.take(features, jnp.clip(idx, 0), axis=0)
-    return jnp.where((idx >= 0)[..., None], gathered, 0)
+    # Invalid rows are masked by the gather itself: route idx<0 to a dedicated
+    # zero row appended past the feature table. The previous full-width
+    # `where` re-streamed the gathered (...,nsample,C) array through HBM
+    # (~14 ms/step across the MsSVT blocks, xplane-measured); the pad row is
+    # one (1,C) concat that XLA CSEs across calls on the same features.
+    v = features.shape[0]
+    padded = jnp.concatenate([features, jnp.zeros_like(features[:1])], axis=0)
+    return jnp.take(padded, jnp.where(idx >= 0, idx, v), axis=0)
 
 
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, known_valid=None):
