@@ -32,6 +32,7 @@ from ..roi_heads.partA2_head import PartA2FCHead
 from ..roi_heads.roi_head_template import (
     assign_proposal_targets,
     proposal_layer,
+    corner_weight_from_cfg,
     roi_box_loss,
     roi_cls_loss,
 )
@@ -129,6 +130,7 @@ class PartA2Net(nn.Module):
             rcnn_cls = roi_cls_loss(cls_logits, targets["cls_labels"])
             rcnn_reg = roi_box_loss(
                 reg, targets["gt_of_rois"], targets["rois"], targets["reg_valid"],
+                corner_loss_weight=corner_weight_from_cfg(self.roi_cfg),
             )
             seg_loss, part_loss, _ = PointIntraPartOffsetHead.get_loss(
                 seg_logits.reshape(self.batch_size, pts.shape[1], -1),

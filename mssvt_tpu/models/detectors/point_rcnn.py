@@ -22,6 +22,7 @@ from ..dense_heads.point_head import PointHeadBox, assign_point_targets
 from ..roi_heads.roi_head_template import (
     assign_proposal_targets,
     proposal_layer,
+    corner_weight_from_cfg,
     roi_box_loss,
     roi_cls_loss,
 )
@@ -169,6 +170,7 @@ class PointRCNN(nn.Module):
             rcnn_cls = roi_cls_loss(r_cls_logits, targets["cls_labels"])
             rcnn_reg = roi_box_loss(
                 r_reg, targets["gt_of_rois"], targets["rois"], targets["reg_valid"],
+                corner_loss_weight=corner_weight_from_cfg(self.roi_cfg),
             )
             loss = p_cls + p_reg + rcnn_cls + rcnn_reg
             out["loss"] = loss

@@ -29,6 +29,7 @@ from ..roi_heads.pvrcnn_head import PVRCNNHead
 from ..roi_heads.roi_head_template import (
     assign_proposal_targets,
     proposal_layer,
+    corner_weight_from_cfg,
     roi_box_loss,
     roi_cls_loss,
 )
@@ -152,6 +153,7 @@ class PVRCNN(nn.Module):
             rcnn_cls = roi_cls_loss(cls_logits, targets["cls_labels"])
             rcnn_reg = roi_box_loss(
                 reg, targets["gt_of_rois"], targets["rois"], targets["reg_valid"],
+                corner_loss_weight=corner_weight_from_cfg(self.roi_cfg),
             )
             pt_labels, _ = assign_point_targets(
                 keypoints, jnp.ones(keypoints.shape[:2], bool), batch["gt_boxes"],

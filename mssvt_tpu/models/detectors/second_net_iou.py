@@ -27,6 +27,7 @@ from ..roi_heads.bev_grid_head import BEVGridRoIHead
 from ..roi_heads.roi_head_template import (
     assign_proposal_targets,
     proposal_layer,
+    corner_weight_from_cfg,
     roi_box_loss,
     roi_cls_loss,
 )
@@ -120,6 +121,7 @@ class SECONDNetIoU(nn.Module):
                 code_weights=self.roi_cfg.get("LOSS_CONFIG", {}).get(
                     "LOSS_WEIGHTS", {}
                 ).get("code_weights"),
+                corner_loss_weight=corner_weight_from_cfg(self.roi_cfg),
             )
             rpn_targets = self.dense_head.assign_targets(batch["gt_boxes"])
             rpn_loss, tb = self.dense_head.get_loss(preds, rpn_targets)

@@ -27,6 +27,7 @@ from .generic_post import apply_vfe
 from ..roi_heads.roi_head_template import (
     assign_proposal_targets,
     proposal_layer,
+    corner_weight_from_cfg,
     roi_box_loss,
     roi_cls_loss,
 )
@@ -109,6 +110,7 @@ class VoxelRCNN(nn.Module):
             rcnn_cls = roi_cls_loss(cls_logits, targets["cls_labels"])
             rcnn_reg = roi_box_loss(
                 reg, targets["gt_of_rois"], targets["rois"], targets["reg_valid"],
+                corner_loss_weight=corner_weight_from_cfg(self.roi_cfg),
             )
             rpn_targets = self.dense_head.assign_targets(batch["gt_boxes"])
             rpn_loss, tb = self.dense_head.get_loss(preds, rpn_targets)

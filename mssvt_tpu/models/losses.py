@@ -80,6 +80,43 @@ def focal_loss_centernet(pred, gt):
     return jnp.where(num_pos == 0, -neg_loss, -(pos_loss + neg_loss) / jnp.clip(num_pos, 1.0))
 
 
+def _boxes_to_corners_3d(boxes):
+    """(N, 7) → (N, 8, 3) corners, jnp (ref: box_utils.py boxes_to_corners_3d).
+
+    Same corner ordering as the reference template (x-major, bottom face
+    first), so corner-wise distances match the torch oracle exactly.
+    """
+    template = jnp.asarray([
+        [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+        [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+    ], boxes.dtype) / 2
+    corners = boxes[:, None, 3:6] * template[None]  # (N, 8, 3)
+    cosa = jnp.cos(boxes[:, 6])[:, None]
+    sina = jnp.sin(boxes[:, 6])[:, None]
+    x = corners[..., 0] * cosa - corners[..., 1] * sina
+    y = corners[..., 0] * sina + corners[..., 1] * cosa
+    return jnp.stack([x, y, corners[..., 2]], axis=-1) + boxes[:, None, 0:3]
+
+
+def get_corner_loss_lidar(pred_bbox3d, gt_bbox3d):
+    """Corner-distance smooth-L1 with heading-flip tolerance.
+
+    Ref: loss_utils.py:209-233 (``get_corner_loss_lidar``): corner L2
+    distances against the GT box and its pi-flipped twin, elementwise min,
+    smooth-L1 at beta=1, mean over the 8 corners. (N, 7) x (N, 7) → (N,).
+    """
+    pred_c = _boxes_to_corners_3d(pred_bbox3d)
+    gt_c = _boxes_to_corners_3d(gt_bbox3d)
+    gt_flip = gt_bbox3d.at[:, 6].add(jnp.pi)
+    gt_c_flip = _boxes_to_corners_3d(gt_flip)
+    d = jnp.minimum(
+        jnp.linalg.norm(pred_c - gt_c, axis=2),
+        jnp.linalg.norm(pred_c - gt_c_flip, axis=2),
+    )  # (N, 8)
+    loss = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+    return loss.mean(axis=1)
+
+
 def reg_loss_centernet(pred_bhwc, mask, ind, target):
     """Masked L1 regression at object centers.
 

@@ -124,8 +124,19 @@ def roi_cls_loss(cls_logits, cls_labels):
     return (bce * cared).sum() / jnp.clip(cared.sum(), 1.0)
 
 
-def roi_box_loss(reg_preds, gt_of_rois, rois, reg_valid, code_weights=None):
-    """Smooth-L1 on canonical-frame residual targets (ref: :162-238)."""
+def roi_box_loss(reg_preds, gt_of_rois, rois, reg_valid, code_weights=None,
+                 corner_loss_weight: float = 0.0):
+    """Smooth-L1 on canonical-frame residual targets (ref: :162-238).
+
+    With ``corner_loss_weight > 0`` adds the corner-distance regularizer
+    (ref: roi_head_template.py:167-194 under CORNER_LOSS_REGULARIZATION,
+    weight = LOSS_WEIGHTS['rcnn_corner_weight']). The reference decodes the
+    predicted boxes back to the GLOBAL frame before comparing corners with
+    the raw GT; here both pred and GT stay in the RoI's canonical frame —
+    the global map is the same per-RoI rigid transform (z-rotation +
+    translation) applied to both boxes, which preserves every corner
+    distance, so the loss value is identical.
+    """
     anchor = jnp.concatenate([
         jnp.zeros_like(rois[..., :3]), rois[..., 3:6],
         jnp.zeros_like(rois[..., 6:7]),
@@ -136,4 +147,28 @@ def roi_box_loss(reg_preds, gt_of_rois, rois, reg_valid, code_weights=None):
     targets = coder.encode(gt_of_rois[..., :7], anchor)
     loss = weighted_smooth_l1(reg_preds, targets, code_weights=code_weights)
     w = reg_valid[..., None]
-    return (loss * w).sum() / jnp.clip(reg_valid.sum(), 1.0)
+    total = (loss * w).sum() / jnp.clip(reg_valid.sum(), 1.0)
+    if corner_loss_weight > 0.0:
+        from ..losses import get_corner_loss_lidar
+
+        pred_canonical = coder.decode(reg_preds, anchor)  # (B, R, 7)
+        per_roi = get_corner_loss_lidar(
+            pred_canonical[..., :7].reshape(-1, 7),
+            gt_of_rois[..., :7].reshape(-1, 7),
+        ).reshape(reg_valid.shape)
+        # ref averages over fg RoIs only (fg_mask indexing, :169-189)
+        corner = (per_roi * reg_valid).sum() / jnp.clip(reg_valid.sum(), 1.0)
+        total = total + corner_loss_weight * corner
+    return total
+
+
+def corner_weight_from_cfg(roi_cfg) -> float:
+    """rcnn corner-loss weight from a ROI_HEAD config dict, 0 when disabled.
+
+    Ref schema: LOSS_CONFIG.CORNER_LOSS_REGULARIZATION (bool) +
+    LOSS_CONFIG.LOSS_WEIGHTS['rcnn_corner_weight'].
+    """
+    lc = (roi_cfg or {}).get("LOSS_CONFIG", {})
+    if not lc.get("CORNER_LOSS_REGULARIZATION", False):
+        return 0.0
+    return float(lc.get("LOSS_WEIGHTS", {}).get("rcnn_corner_weight", 1.0))

@@ -331,6 +331,10 @@ def group_features(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     index) and output is channel-last (..., nsample, C). Gradients flow to
     `features` via XLA scatter-add — deterministic, replacing the reference's
     atomicAdd backward (group_features_gpu.cu:46-106).
+
+    Contract: idx must lie in [-1, V). -1 yields a zero row; out-of-range
+    positive indices (idx >= V) clamp to the appended pad row and ALSO yield
+    zeros (not the last real row, as a clip-based gather would).
     """
     # Invalid rows are masked by the gather itself: route idx<0 to a dedicated
     # zero row appended past the feature table. The previous full-width

@@ -47,15 +47,30 @@ def main():
             pid_names[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_names.items() if re.search(r"TPU|/device", n, re.I)}
 
-    # Thread names so we can skip host-side threads inside device pids.
+    # Thread names per (pid, tid): device pids also carry 'XLA Modules' /
+    # 'Steps' lines whose events ENCLOSE the op events, so summing every line
+    # double/triple-counts. Only the 'XLA Ops' line holds per-op durations.
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    op_tids = {k for k, n in tid_names.items()
+               if k[0] in dev_pids and re.search(r"XLA Ops", n, re.I)}
+    if not op_tids:  # older trace format: fall back to excluding known wrappers
+        op_tids = {k for k, n in tid_names.items()
+                   if k[0] in dev_pids
+                   and not re.search(r"Module|Steps|Framework|Source", n, re.I)}
+
     totals = collections.Counter()
     counts = collections.Counter()
-    total_span = 0.0
+    total_device = 0.0  # unfiltered device-op total (all ops, pre --match)
+    total_matched = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "")
         dur = e.get("dur", 0) / 1e3  # us -> ms
+        total_device += dur
         if args.match and not re.search(args.match, name):
             continue
         key = name
@@ -64,13 +79,17 @@ def main():
             key = key.split("(")[0]
         totals[key] += dur
         counts[key] += 1
-        total_span += dur
+        total_matched += dur
 
     print(f"# device pids: { {p: pid_names[p] for p in dev_pids} }")
-    print(f"# total device-op time: {total_span:.1f} ms across {sum(counts.values())} events")
-    width = max((len(k) for k, _ in totals.most_common(args.n)), default=10)
+    print(f"# op lines: { {k: tid_names[k] for k in sorted(op_tids)} }")
+    print(f"# total device-op time: {total_device:.1f} ms")
+    if args.match:
+        print(f"# matched device-op time: {total_matched:.1f} ms "
+              f"across {sum(counts.values())} events")
+    width = max((len(k[:160]) for k, _ in totals.most_common(args.n)), default=10)
     for name, ms in totals.most_common(args.n):
-        print(f"{ms:10.2f} ms  x{counts[name]:<5d} {name[:160]}")
+        print(f"{ms:10.2f} ms  x{counts[name]:<5d} {name[:160]:<{width}}")
 
 
 if __name__ == "__main__":
