@@ -1,5 +1,6 @@
 from .caddn import CaDDN
 from .centerpoint import CenterPoint
+from .ct3d_3cat import CT3D3CAT
 from .part_a2 import PartA2Net
 from .point_rcnn import PointRCNN
 from .pointpillar import PointPillar
@@ -11,6 +12,9 @@ from .voxel_rcnn import VoxelRCNN
 __all__ = {
     "CaDDN": CaDDN,
     "CenterPoint": CenterPoint,
+    # ref registers CT3D_3CAT (detectors/__init__.py:12,26) but omits its ROI
+    # head from the head registry — repaired here (see roi_heads/ct3d_head.py)
+    "CT3D_3CAT": CT3D3CAT,
     "PartA2": PartA2Net,
     "PointPillar": PointPillar,
     "PointRCNN": PointRCNN,

@@ -109,10 +109,16 @@ def get_corner_loss_lidar(pred_bbox3d, gt_bbox3d):
     gt_c = _boxes_to_corners_3d(gt_bbox3d)
     gt_flip = gt_bbox3d.at[:, 6].add(jnp.pi)
     gt_c_flip = _boxes_to_corners_3d(gt_flip)
-    d = jnp.minimum(
-        jnp.linalg.norm(pred_c - gt_c, axis=2),
-        jnp.linalg.norm(pred_c - gt_c_flip, axis=2),
-    )  # (N, 8)
+
+    def _safe_norm(v):
+        # sqrt has an infinite derivative at 0; padded RoIs produce exactly
+        # coincident (zero) corners, so guard or the whole backward NaNs
+        s = (v * v).sum(axis=2)
+        nz = s > 1e-12
+        return jnp.sqrt(jnp.where(nz, s, 1.0)) * nz
+
+    d = jnp.minimum(_safe_norm(pred_c - gt_c),
+                    _safe_norm(pred_c - gt_c_flip))  # (N, 8)
     loss = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
     return loss.mean(axis=1)
 

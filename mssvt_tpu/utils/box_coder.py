@@ -42,6 +42,12 @@ class ResidualCoder:
 
     def decode(self, encodings, anchors):
         xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, axis=-1)
+        # zero-dim (padded) anchors: sqrt(dxa²+dya²) has a NaN gradient at 0
+        # and exp()*0 collapses boxes; clip like encode (no effect on real
+        # anchors, whose dims are far above 1e-5)
+        dxa = jnp.clip(dxa, 1e-5, None)
+        dya = jnp.clip(dya, 1e-5, None)
+        dza = jnp.clip(dza, 1e-5, None)
         if self.encode_angle_by_sincos:
             xt, yt, zt, dxt, dyt, dzt = jnp.split(encodings[..., :6], 6, axis=-1)
             cost = encodings[..., 6:7]
