@@ -42,6 +42,32 @@ def _frame_recall(pred_boxes, gt_boxes, thresh_list):
     return counts, n_gt
 
 
+def merge_result_parts(tmp_dir, recall_thresh_list):
+    """Merge per-process ``part_<rank>.pkl`` eval dumps from a shared dir.
+
+    The multi-host analog of ref ``common_utils.merge_results_dist``
+    (common_utils.py:199-220): each process pickles its per-frame results;
+    rank 0 concatenates them in rank order. Returns
+    (det_frames, gt_frames, recall_acc, gt_total, n_frames, t_total) —
+    t_total is the MAX across ranks (processes evaluate concurrently).
+    """
+    det_frames, gt_frames = [], []
+    recall_acc = {t: 0 for t in recall_thresh_list}
+    gt_total = n_frames = 0
+    t_total = 0.0
+    for part in sorted(Path(tmp_dir).glob("part_*.pkl")):
+        with open(part, "rb") as f:
+            d = pickle.load(f)
+        det_frames += d["det"]
+        gt_frames += d["gt"]
+        for t in recall_thresh_list:
+            recall_acc[t] += d["recall"][t]
+        gt_total += d["gt_total"]
+        n_frames += d["n"]
+        t_total = max(t_total, d["t"])
+    return det_frames, gt_frames, recall_acc, gt_total, n_frames, t_total
+
+
 def eval_one_epoch(
     model, params, batch_stats, loader, mesh, class_names,
     logger=None, result_dir=None, save_to_file=False,
@@ -105,20 +131,8 @@ def eval_one_epoch(
         multihost_utils.sync_global_devices("eval_merge")
         if jax.process_index() != 0:
             return {}, []
-        det_frames, gt_frames = [], []
-        recall_acc = {t: 0 for t in recall_thresh_list}
-        gt_total = n_frames = 0
-        t_total = 0.0
-        for part in sorted(tmp.glob("part_*.pkl")):
-            with open(part, "rb") as f:
-                d = pickle.load(f)
-            det_frames += d["det"]
-            gt_frames += d["gt"]
-            for t in recall_thresh_list:
-                recall_acc[t] += d["recall"][t]
-            gt_total += d["gt_total"]
-            n_frames += d["n"]
-            t_total = max(t_total, d["t"])
+        (det_frames, gt_frames, recall_acc, gt_total, n_frames,
+         t_total) = merge_result_parts(tmp, recall_thresh_list)
 
     sec_per_example = t_total / max(n_frames, 1)
     if logger:
