@@ -33,12 +33,31 @@ class Loader:
     def set_epoch(self, epoch):
         self.epoch = epoch
 
+    def merge_all_iters_to_one_epoch(self, merge: bool = True,
+                                     epochs: int = 1):
+        """Fold ``epochs`` independently-shuffled passes into one epoch-long
+        stream (ref: datasets/__init__.py:69-74 + dataset.py
+        merge_all_iters_to_one_epoch): removes epoch-boundary overhead and
+        gives the scheduler one continuous iteration count."""
+        self._merged_epochs = int(epochs) if merge else None
+
     def _indices(self):
         n = len(self.dataset)
-        idx = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            idx = rng.permutation(n)
+        merged = getattr(self, "_merged_epochs", None)
+        if merged:
+            parts = []
+            for e in range(merged):
+                idx_e = np.arange(n)
+                if self.shuffle:
+                    rng = np.random.default_rng(self.seed + e)
+                    idx_e = rng.permutation(n)
+                parts.append(idx_e)
+            idx = np.concatenate(parts)
+        else:
+            idx = np.arange(n)
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + self.epoch)
+                idx = rng.permutation(n)
         # rank sharding (≙ DistributedSampler)
         idx = idx[self.rank::self.world_size]
         steps = len(idx) // self.batch_size

@@ -147,6 +147,39 @@ def test_dataset_and_collate(training):
         assert (b["gt_boxes"][:, :, -1].max() <= 3) and (b["gt_boxes"].sum() != 0)
 
 
+def test_loader_merge_all_iters_to_one_epoch():
+    """merge_all_iters folds N shuffled passes into one stream
+    (ref: datasets/__init__.py:69-74): N x the steps, every sample appears
+    exactly N times, and per-pass orders differ."""
+    from collections import Counter
+
+    from mssvt_tpu.datasets.loader import Loader
+
+    class Stub:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return {"frame_id": i}
+
+        @staticmethod
+        def collate_batch(samples):
+            return {"frame_id": [s["frame_id"] for s in samples]}
+
+    loader = Loader(Stub(), batch_size=1, shuffle=True, num_workers=0, seed=7)
+    base_steps = len(loader)
+    assert base_steps == 12
+    loader.merge_all_iters_to_one_epoch(merge=True, epochs=3)
+    assert len(loader) == 3 * base_steps
+    ids = [b["frame_id"][0] for b in loader]
+    counts = Counter(ids)
+    assert all(c == 3 for c in counts.values()) and len(counts) == 12
+    p0, p1 = ids[:base_steps], ids[base_steps:2 * base_steps]
+    assert sorted(p0) == sorted(p1) and p0 != p1
+    loader.merge_all_iters_to_one_epoch(merge=False)
+    assert len(loader) == base_steps
+
+
 def test_loader_sharding():
     dataset, loader0 = build_dataloader(
         dataset_cfg=synthetic_cfg(), class_names=["Vehicle"],

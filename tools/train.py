@@ -49,6 +49,9 @@ def parse_config():
                         default="none")
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--eval_after_train", action="store_true")
+    parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true",
+                        help="fold all epochs into one continuous pass "
+                             "(ref: train.py:43, datasets/__init__.py:69-74)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -130,6 +133,10 @@ def main():
     batch_stats = variables.get("batch_stats", {})
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     logger.info(f"model parameters: {n_params / 1e6:.2f} M")
+
+    if args.merge_all_iters_to_one_epoch:
+        train_loader.merge_all_iters_to_one_epoch(merge=True, epochs=epochs)
+        epochs = 1  # the merged stream IS the whole schedule
 
     steps_per_epoch = len(train_loader)
     total_steps = steps_per_epoch * epochs
