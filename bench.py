@@ -157,7 +157,14 @@ def run_train(cfg, model, scenes, batch_size):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mssvt_jax_cache")
+    # Repo-local persistent compile cache. The heavyweight cost on the axon
+    # platform is the SERVER-side TPU binary compile on first execution
+    # (~180-240 s for the full model, measured 2026-08-19); a persistent-cache
+    # hit skips it entirely (12.5 s compile+first-run). Repo-local so it
+    # survives /tmp cleanup between sessions.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mssvt_tpu.config import cfg_from_yaml_file
@@ -214,17 +221,39 @@ def main():
     )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
     print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    @jax.jit
     def infer(variables, batch):
         out = model.apply(variables, batch, train=False)
         return out["final_boxes"], out["final_scores"], out["final_mask"]
+
+    # explicit lower+compile so XLA cost analysis (FLOPs, HBM bytes) is
+    # available for the MFU/roofline report below
+    t0 = time.time()
+    infer_c = jax.jit(infer).lower(variables, batch).compile()
+    t_compile = time.time() - t0
+    infer = infer_c  # all subsequent calls go through the compiled object
+    cost = None
+    try:
+        ca = infer_c.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        cost = {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0)),
+        }
+    except Exception as e:  # cost analysis is best-effort on the tunnel
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
 
     # warm with HOST READBACKS: on the axon platform block_until_ready can
     # return before queued work completes, which silently pushes compile +
     # warmup executions into the timed region (measured 20x inflation)
     t0 = time.time()
-    float(np.asarray(infer(variables, batch)[1]).sum())
-    print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    float(np.asarray(infer_c(variables, batch)[1]).sum())
+    t_first = t_compile + (time.time() - t0)
+    print(f"# compile+first run: {t_first:.1f}s "
+          f"(xla compile {t_compile:.1f}s)", file=sys.stderr)
+    if t_first > 60.0:
+        print("# WARNING: compile+first run exceeded the 60 s budget — "
+              "persistent cache cold (server-side TPU compile ran); "
+              "re-run to verify the warm path", file=sys.stderr)
     for s in scenes:  # warm every distinct input once
         float(np.asarray(infer(variables, s)[1]).sum())
 
@@ -293,12 +322,38 @@ def main():
     o1 = np.asarray(infer(variables, scenes[1])[1])
     assert not np.allclose(o0, o1), "identical outputs across scenes — measurement invalid"
 
-    print(json.dumps({
+    # --- FLOP / MFU / roofline accounting (XLA cost analysis). v5e peak:
+    # 197 TFLOP/s bf16 per chip, 819 GB/s HBM. MFU uses the bf16 peak (the
+    # model runs the bf16 compute policy); the arithmetic-intensity line says
+    # which wall the steady state sits against.
+    mfu = None
+    if cost and cost["flops"] > 0:
+        peak_flops = 197e12 if "--fp32" not in sys.argv else 98.5e12
+        peak_bw = 819e9
+        fl_frame = cost["flops"] / batch_size
+        by_frame = cost["bytes"] / batch_size
+        mfu = fl_frame / (dt * peak_flops)
+        hbm_util = by_frame / (dt * peak_bw)
+        ai = cost["flops"] / max(cost["bytes"], 1.0)
+        ridge = peak_flops / peak_bw
+        bound = "HBM-bound" if ai < ridge else "compute-bound"
+        print(f"# cost: {fl_frame / 1e9:.1f} GFLOP/frame, "
+              f"{by_frame / 1e9:.2f} GB/frame, AI={ai:.0f} flop/byte "
+              f"(ridge {ridge:.0f}) -> {bound}", file=sys.stderr)
+        print(f"# mfu: {mfu * 100:.1f}% of bf16 peak, "
+              f"hbm: {hbm_util * 100:.1f}% of 819 GB/s at "
+              f"{dt * 1000:.2f} ms/frame", file=sys.stderr)
+
+    out = {
         "metric": "e2e_inference_fps_single_chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / PROVISIONAL_A100_FPS, 3),
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+        out["sync_ms_per_frame"] = round(dt_sync * 1000, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -38,7 +38,6 @@ from ...ops.pallas_fill import PACK5_ZERO
 from ...ops.pallas_interp import interp_win1_pallas
 from ...ops.sampling import (
     farthest_point_sample_planes_select,
-    gather_along_batch,
     group_features,
     three_interp_weights_planes,
 )
@@ -77,31 +76,6 @@ def _writeback_inverse(upd_fea, inv, shortcut):
                      rows.astype(shortcut.dtype), shortcut)
 
 
-def _scatter_win1_features(x, inv, nw, cap_s):
-    """Build the (NW, cap_s, C) win1-region feature buffer by SCATTERING.
-
-    Equivalent to ``group_features`` over the win1 gather buffer (padded to
-    ``cap_s`` slots) but issues V row descriptors (one per voxel, via the
-    voxel→(window, slot) inverse map) instead of NW*cap_s row gathers —
-    ~12x fewer at Waymo block-1 scale where the buffers are ~75% padding.
-    ``cap_s`` may exceed the win1 attention capacity so even-parity query
-    runs (which start at the window's odd count) stay inside the buffer.
-    Module-level so ablations can stub it.
-    """
-    v, c = x.shape
-    ok = inv["valid_base"] & (inv["slot"] < cap_s)
-    pos = jnp.where(
-        ok,
-        inv["win_row"] * cap_s + inv["slot"],
-        nw * cap_s + jnp.arange(v, dtype=jnp.int32),  # distinct OOB → dropped
-    )
-    return (
-        jnp.zeros((nw * cap_s, c), x.dtype)
-        .at[pos].set(x, mode="drop", unique_indices=True)
-        .reshape(nw, cap_s, c)
-    )
-
-
 class MsSVTBlock(nn.Module):
     """One mixed-scale window-attention stage (resolution-preserving)."""
 
@@ -129,11 +103,6 @@ class MsSVTBlock(nn.Module):
         # default capacities = full window volume (ref :65-68)
         self.cap1 = int(np.prod(self.win1)) if self.max_num_win1 is None else self.max_num_win1
         self.cap2 = int(np.prod(self.win2)) if self.max_num_win2 is None else self.max_num_win2
-        # scatter-built win1-region buffer spans the full win1 table (so the
-        # even-parity query run never falls off the end), capped by the win2
-        # fill capacity (slots are win2-fill ranks)
-        k1_total = int(self.tables.eligibility[:, 2].sum())  # WIN1 column
-        self.cap_scatter = min(k1_total, self.cap2)
 
         self.norm1 = nn.LayerNorm(dtype=self.dtype)
         self.norm2 = nn.LayerNorm(dtype=self.dtype)
@@ -211,52 +180,19 @@ class MsSVTBlock(nn.Module):
         # buffer), queries slice/gather it locally too, and all metric
         # coordinates are derived arithmetically from the gather buffers'
         # integer offsets — no voxel-table gather at all.
-        # The scatter-built alternative (V row descriptors through the
-        # voxel→(window, slot) inverse map, MSSVT_WIN1_SCATTER=on) has ~12x
-        # fewer descriptors on paper but LOSES on chip: xplane-measured
-        # (2026-08-18) XLA row scatters run at ~72 ns/row vs ~1.9 ns/row for
-        # row gathers (block-1 scatter alone was 26 ms/step), so the e2e A/B
-        # is 63.5 -> 56.3 ms/frame in favor of the gather form.
+        # (A scatter-built alternative — V row descriptors through the
+        # voxel→(window, slot) inverse map — was pruned after losing two
+        # A/Bs: xplane-measured XLA row scatters run at ~72 ns/row vs
+        # ~1.9 ns/row for row gathers on this chip; see git history.)
         inv = g.get("inv_win1") if self.use_feature_interpolation else None
         nq = q["ind"].shape[1]
         n1_cap = win1b["ind"].shape[1]
-        use_scatter = (
-            inv is not None and "valid_base" in inv
-            and os.environ.get("MSSVT_WIN1_SCATTER", "off") == "on"
-            and n1_cap <= self.cap_scatter
-        )
-        q_fea = k_fea1 = scat = None
         q_prefix_ok = q_name in ("odd", "win1") and nq <= n1_cap
-        if use_scatter:
-            scat = _scatter_win1_features(
-                x, inv, win1b["ind"].shape[0], self.cap_scatter)
-            win1_fea = scat[:, :n1_cap]
-        else:
-            win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
-        if use_scatter:
-            if q_prefix_ok:
-                # odd-table offsets occupy the FIRST table positions, so the
-                # odd buffer is an exact prefix of the win1 buffer (and win1
-                # is trivially its own prefix) — reuse the built rows
-                q_fea = win1_fea[:, :nq] * (~q["mask"])[..., None]
-            elif q_name == "even" and "start" in g["even"]:
-                # even-table offsets follow the odd ones, so the even buffer
-                # is the win1-region run starting at the window's odd count
-                sel = jnp.minimum(
-                    g["even"]["start"][:, None]
-                    + jnp.arange(nq, dtype=jnp.int32)[None],
-                    self.cap_scatter - 1)
-                q_fea = gather_along_batch(scat, sel) \
-                    * (~q["mask"])[..., None]
-            else:
-                q_fea = group_features(x, q["ind"])  # (NW, nq, C)
-            k_fea1 = gather_along_batch(win1_fea, fps1) \
-                * (~k_mask1)[..., None]
-        else:
-            # assembled path: the local FPS take_along, q prefix/masking,
-            # k1/k2 concat and pos-MLP add all happen inside the attention
-            # module (in VMEM on the TPU fast path — see MixedScaleAttention)
-            q_ext = None if q_prefix_ok else group_features(x, q["ind"])
+        win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
+        # assembled path: the local FPS take_along, q prefix/masking,
+        # k1/k2 concat and pos-MLP add all happen inside the attention
+        # module (in VMEM on the TPU fast path — see MixedScaleAttention)
+        q_ext = None if q_prefix_ok else group_features(x, q["ind"])
         k_fea2 = group_features(x, k_ind2)
 
         # metric center of a buffer slot = window-center voxel + offset,
@@ -311,91 +247,62 @@ class MsSVTBlock(nn.Module):
 
         # --- position embeddings (ref :278-282), via the plane decomposition
         # (no (NW, cap, 6) stack, no K=6 matmul — that form measured
-        # ~21 ms/frame by ablation).
+        # ~21 ms/frame by ablation). The pos MLP, concat and masking ride
+        # inside the attention module; only the (NW, C) center half is
+        # precomputed here.
         k_mask = jnp.concatenate([k_mask1, k_mask2], axis=1)  # (NW, 2*nk)
-        if use_scatter:
-            q_pos = self.pos_proj.from_planes(
-                q_rel[0], q_rel[1], q_rel[2], wcx, wcy, wcz)
-            k_pos = self.pos_proj.from_planes(
-                k_rel[0], k_rel[1], k_rel[2], wcx, wcy, wcz)
-            q_fea = q_fea + q_pos
-            k_fea = jnp.concatenate([k_fea1, k_fea2], axis=1) + k_pos
-            attn_in = dict(query=q_fea, keys=k_fea)
-        else:
-            # the pos MLP, concat and masking ride inside the attention
-            # module; only the (NW, C) center half is precomputed here
-            attn_in = dict(assembled=dict(
-                win1_fea=win1_fea, k2_fea=k_fea2, fps1=fps1,
-                k_mask1=k_mask1, q_ext=q_ext,
-                q_keep=(~q["mask"]).astype(jnp.float32),
-                q_rel=q_rel, k_rel=k_rel,
-                pos_base=self.pos_proj.base_from_centers(wcx, wcy, wcz),
-                pos_w=self.pos_proj.rel_kernel(), nq=nq,
-            ))
+        attn_in = dict(assembled=dict(
+            win1_fea=win1_fea, k2_fea=k_fea2, fps1=fps1,
+            k_mask1=k_mask1, q_ext=q_ext,
+            q_keep=(~q["mask"]).astype(jnp.float32),
+            q_rel=q_rel, k_rel=k_rel,
+            pos_base=self.pos_proj.base_from_centers(wcx, wcy, wcz),
+            pos_w=self.pos_proj.rel_kernel(), nq=nq,
+        ))
 
-        # --- mixed-scale attention (ref :289-295), with the 3-NN inverse-
-        # distance propagation to all win1 voxels (ref :297-310) fused into
-        # the kernel epilogue on the TPU fast path: the (NW, nq, C) attention
-        # output, (NW, n1, nq) distance matrix, and interpolation matrix
-        # never hit HBM. Parity note: like the reference, the known set is
-        # NOT masked for padded query slots (their coords gather to zeros);
-        # their features are query-masked to ~0, so they dilute but do not
-        # corrupt.
-        # Measured e2e (batch-4 A/B, 2026-08-17): the fused epilogue LOSES
-        # ~5-15 ms/frame — the in-kernel W3 build (3x min/where sweeps over
-        # (wb, n1, nq) f32) serializes into the kernel's critical path,
-        # whereas XLA overlaps the unfused three_nn/three_interpolate chain
-        # with neighboring work. Default off; env-gated for future A/B.
-        fuse_interp = (self.use_feature_interpolation
-                       and os.environ.get("MSSVT_FUSE_INTERP", "off") == "on"
-                       and _use_fused_kernel(
-                           nq, deterministic, dropout=self.dropout))
-        if fuse_interp:
-            q_keep = (~q["mask"]).astype(jnp.float32)
-            upd_fea = self.ms_attn(
-                query_mask=q["mask"],
-                key_masks=k_mask, deterministic=deterministic,
-                interp_planes=(win1_m[0], win1_m[1], win1_m[2],
-                               q_m[0], q_m[1], q_m[2], q_keep),
-                interp_n1=win1b["ind"].shape[1],
-                **attn_in,
-            )  # (NW, n1, C)
-            upd_ind = win1b["ind"]
-        else:
-            attn_fea = self.ms_attn(
-                query_mask=q["mask"],
-                key_masks=k_mask, deterministic=deterministic,
-                **attn_in,
-            )  # (NW, nq, C)
-            if self.use_feature_interpolation:
-                interp_mode = os.environ.get("MSSVT_INTERP", "xla")
-                use_pallas_interp = (
-                    interp_mode in ("pallas", "interpret")
-                    and _use_fused_kernel(nq, deterministic,
-                                          dropout=self.dropout))
-                if use_pallas_interp:
-                    # single-pass kernel: W3 built in VMEM + one batched
-                    # matmul; the (NW, n1, nq) matrices never hit HBM
-                    q_keep = (~q["mask"]).astype(jnp.float32)
-                    win1_fea = interp_win1_pallas(
-                        attn_fea,
-                        (win1_m[0], win1_m[1], win1_m[2],
-                         q_m[0], q_m[1], q_m[2], q_keep),
-                        win1b["ind"].shape[1],
-                        interpret=(interp_mode == "interpret"),
-                        compute_dtype=self.dtype)
-                else:
-                    # dense W3 form: one (NW, n1, nq) matrix + one batched
-                    # matmul (vs the three_nn idx/weight + one-hot chain)
-                    w3 = three_interp_weights_planes(
-                        win1_m[0], win1_m[1], win1_m[2],
-                        q_m[0], q_m[1], q_m[2])
-                    win1_fea = jnp.einsum(
-                        "bnm,bmc->bnc", w3.astype(attn_fea.dtype), attn_fea,
-                        preferred_element_type=attn_fea.dtype)  # (NW, n1, C)
-                upd_ind, upd_fea = win1b["ind"], win1_fea
+        # --- mixed-scale attention (ref :289-295) + 3-NN inverse-distance
+        # propagation to all win1 voxels (ref :297-310). Parity note: like
+        # the reference, the known set is NOT masked for padded query slots
+        # (their coords gather to zeros); their features are query-masked to
+        # ~0, so they dilute but do not corrupt.
+        # (A fused-into-the-kernel interpolation epilogue was pruned after
+        # losing its A/B by 5-15 ms/frame: the in-kernel W3 build serialized
+        # into the kernel's critical path, whereas XLA overlaps the unfused
+        # chain with neighboring work. See git history.)
+        attn_fea = self.ms_attn(
+            query_mask=q["mask"],
+            key_masks=k_mask, deterministic=deterministic,
+            **attn_in,
+        )  # (NW, nq, C)
+        if self.use_feature_interpolation:
+            interp_mode = os.environ.get("MSSVT_INTERP", "xla")
+            use_pallas_interp = (
+                interp_mode in ("pallas", "interpret")
+                and _use_fused_kernel(nq, deterministic,
+                                      dropout=self.dropout))
+            if use_pallas_interp:
+                # single-pass kernel: W3 built in VMEM + one batched
+                # matmul; the (NW, n1, nq) matrices never hit HBM
+                q_keep = (~q["mask"]).astype(jnp.float32)
+                win1_fea = interp_win1_pallas(
+                    attn_fea,
+                    (win1_m[0], win1_m[1], win1_m[2],
+                     q_m[0], q_m[1], q_m[2], q_keep),
+                    win1b["ind"].shape[1],
+                    interpret=(interp_mode == "interpret"),
+                    compute_dtype=self.dtype)
             else:
-                upd_ind, upd_fea = q["ind"], attn_fea
+                # dense W3 form: one (NW, n1, nq) matrix + one batched
+                # matmul (vs the three_nn idx/weight + one-hot chain)
+                w3 = three_interp_weights_planes(
+                    win1_m[0], win1_m[1], win1_m[2],
+                    q_m[0], q_m[1], q_m[2])
+                win1_fea = jnp.einsum(
+                    "bnm,bmc->bnc", w3.astype(attn_fea.dtype), attn_fea,
+                    preferred_element_type=attn_fea.dtype)  # (NW, n1, C)
+            upd_ind, upd_fea = win1b["ind"], win1_fea
+        else:
+            upd_ind, upd_fea = q["ind"], attn_fea
 
         # --- write back (replaces the per-batch loop, ref :313-336). Base
         # is the ORIGINAL features (ref clones sp_tensor.features, :317).
@@ -490,20 +397,10 @@ class MsSVTCompressBlock(nn.Module):
         g = gather_window_voxels(
             win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
             self.win1, self.tables, max_num_win1=self.cap1,
-            batch_size=sp.batch_size, return_inverse=True,
+            batch_size=sp.batch_size,
         )
         k = g["win1"]
-
-        inv = g.get("inv_win1")
-        if (inv is not None and "valid_base" in inv
-                and os.environ.get("MSSVT_WIN1_SCATTER", "off") == "on"):
-            # scatter-built variant (V row descriptors through the inverse
-            # map) — fewer descriptors on paper, but XLA row scatters measure
-            # ~35x slower per descriptor than gathers on chip (see MsSVTBlock)
-            k_fea = _scatter_win1_features(
-                x, inv, k["ind"].shape[0], k["ind"].shape[1])
-        else:
-            k_fea = group_features(x, k["ind"])  # (NW, ns, C)
+        k_fea = group_features(x, k["ind"])  # (NW, ns, C)
 
         # key metric coordinates on per-component planes from the packed
         # gather offsets (== gathering sp.metric_centers() rows: empty slots

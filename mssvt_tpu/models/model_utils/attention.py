@@ -27,8 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.pallas_attention import (
-    fused_window_attention, fused_window_attention_assembled,
-    fused_window_attention_interp)
+    fused_window_attention, fused_window_attention_assembled)
 
 KEY_PAD_NEG = -100.0
 
@@ -108,9 +107,6 @@ class MixedScaleAttention(nn.Module):
         query_mask: Optional[jnp.ndarray] = None,  # (b, nq) True = PAD
         key_masks: Optional[jnp.ndarray] = None,  # (b, tot_nk) True = PAD
         deterministic: bool = True,
-        interp_planes: Optional[tuple] = None,  # (wmx,wmy,wmz (b,n1),
-                                                #  qmx,qmy,qmz,q_keep (b,nq))
-        interp_n1: Optional[int] = None,
         assembled: Optional[dict] = None,  # raw gather products (see below)
     ) -> jnp.ndarray:
         if assembled is not None:
@@ -122,13 +118,13 @@ class MixedScaleAttention(nn.Module):
             # On the TPU inference fast path the assembly happens in VMEM
             # inside the assembled kernel (the outside concat/pos/mask
             # sweeps measured ~25 ms/step for block 1, xplane 2026-08-18);
-            # everywhere else (CPU, training, interp fusion) it falls back
+            # everywhere else (CPU, training) it falls back
             # to the identical XLA formulation below and continues through
             # the existing fused/einsum paths.
             a = assembled
             nq_a = int(a["nq"])
             use_kernel = (
-                deterministic and interp_planes is None
+                deterministic
                 and _use_fused_kernel(nq_a, deterministic,
                                       dropout=self.dropout)
             )
@@ -204,18 +200,6 @@ class MixedScaleAttention(nn.Module):
                 bias = jnp.where(key_masks, KEY_PAD_NEG, 0.0).astype(jnp.float32)
             else:
                 bias = jnp.zeros((b, tot_nk), jnp.float32)
-            if interp_planes is not None:
-                # fused 3-NN interpolation epilogue: returns (b, n1, C) win1
-                # slot features; the query mask rides in via q_keep (folded
-                # into the interpolation matrix inside the kernel)
-                return fused_window_attention_interp(
-                    query, keys, (wq, bq, wk, bk, wv, bv, wp, bp), bias,
-                    tuple(interp_planes),
-                    num_heads=tuple(self.num_heads), scale=scale,
-                    n1=int(interp_n1),
-                    interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
-                    compute_dtype=self.dtype,
-                )
             out = fused_window_attention(
                 query, keys, (wq, bq, wk, bk, wv, bv, wp, bp), bias,
                 num_heads=tuple(self.num_heads), scale=scale,
@@ -228,8 +212,6 @@ class MixedScaleAttention(nn.Module):
                 out = out * (~query_mask)[..., None].astype(out.dtype)
             return out
 
-        assert interp_planes is None, \
-            "interp fusion is only available on the fused-kernel path"
         outs = []
         start = 0
         for i, h in enumerate(self.num_heads):

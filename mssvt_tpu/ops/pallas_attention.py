@@ -685,75 +685,9 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
     return dq, dk, dproj
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_heads", "scale", "n1", "window_block", "interpret",
-        "compute_dtype",
-    ),
-)
-def fused_window_attention_interp(
-    query: jnp.ndarray,   # (NW, nq, D) RAW (pre-projection)
-    keys: jnp.ndarray,    # (NW, nk_tot, D) RAW
-    proj: Tuple[jnp.ndarray, ...],  # (wq, bq, wk, bk, wv, bv, wp, bp)
-    key_bias: jnp.ndarray,  # (NW, nk_tot) additive (-100 where padded)
-    planes: Tuple[jnp.ndarray, ...],  # wmx,wmy,wmz (NW,n1); qmx,qmy,qmz,
-                                      # q_keep (NW,nq) — all f32, nondiff
-    num_heads: Tuple[int, ...],
-    scale: float,
-    n1: int,
-    window_block: int = 32,
-    interpret: bool = False,
-    compute_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
-    """``fused_window_attention`` + in-kernel 3-NN interpolation epilogue.
-
-    Replaces the block's post-attention ``three_nn_planes`` +
-    ``three_interpolate`` chain (ref: mssvt_backbone.py:300-310): the
-    (wb, n1, nq) inverse-distance matrix is built in VMEM from the metric
-    coordinate planes and applied as one batched MXU matmul, so the
-    (NW, nq, D) attention output, the (NW, n1, nq) weight matrix, and the
-    (NW, n1, nq) distance matrix never exist in HBM. Returns (NW, n1, D) —
-    the updated features of every win1 buffer slot. ``planes`` carry the
-    query-mask (``q_keep``: 1.0 = live query) folded into the matrix, and
-    get zero cotangents (coordinate-derived, nondifferentiable).
-    """
-    return _fused_attention_interp(
-        query, keys, tuple(proj), key_bias, tuple(planes),
-        tuple(num_heads), float(scale), int(n1),
-        int(ATTN_WB or window_block), bool(interpret), compute_dtype)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _fused_attention_interp(query, keys, proj, key_bias, planes, num_heads,
-                            scale, n1, window_block, interpret,
-                            compute_dtype):
-    return _fused_attention_fwd_impl(
-        query, keys, proj, key_bias, num_heads, scale, window_block,
-        interpret, compute_dtype, planes=planes, n1=n1)
-
-
-def _fused_attention_interp_fwd(query, keys, proj, key_bias, planes,
-                                num_heads, scale, n1, window_block,
-                                interpret, compute_dtype):
-    out = _fused_attention_fwd_impl(
-        query, keys, proj, key_bias, num_heads, scale, window_block,
-        interpret, compute_dtype, planes=planes, n1=n1)
-    return out, (query, keys, proj, key_bias, planes)
-
-
-def _fused_attention_interp_bwd(num_heads, scale, n1, window_block,
-                                interpret, compute_dtype, res, g):
-    query, keys, proj, key_bias, planes = res
-    dq, dk, dproj = _fused_attention_bwd_impl(
-        query, keys, proj, key_bias, g, num_heads, scale, window_block,
-        interpret, compute_dtype, planes=planes, n1=n1)
-    return (dq, dk, dproj, jnp.zeros_like(key_bias),
-            tuple(jnp.zeros_like(p) for p in planes))
-
-
-_fused_attention_interp.defvjp(_fused_attention_interp_fwd,
-                               _fused_attention_interp_bwd)
+# (A fused 3-NN interpolation epilogue variant of the kernel was pruned
+#  after losing its e2e A/B by 5-15 ms/frame; the shared planes/n1 plumbing
+#  in the impl functions remains for the standalone pallas_interp kernel.)
 
 
 # ---------------------------------------------------------------------------

@@ -483,10 +483,7 @@ def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
 
     win1 cells precede all win2-only cells in table order, so a voxel's
     fill rank IS its win1 slot (single-scale: the whole table is win1).
-    ``valid`` caps at the win1 buffer capacity (write-back addresses);
-    ``valid_base`` leaves the slot uncapped so feature-scatter callers can
-    fill buffers up to the full win1 table span (even-parity query runs
-    extend past cap1 when a window holds > cap1 voxels).
+    ``valid`` caps at the win1 buffer capacity (write-back addresses).
 
     ``occf`` arrives in the SOURCE column layout when the permutation fold
     is active (tables.inv_src — see fill_capacity_buffer): the rank matrix
@@ -527,8 +524,7 @@ def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
         slot_v = rank.reshape(-1)[flat].astype(jnp.int32)
     base_valid = valid & (win_row_v >= 0) & (k_own >= 0)
     inv_valid = base_valid & (slot_v < min(cap1, cap2))
-    return {"win_row": win_row_v, "slot": slot_v,
-            "valid": inv_valid, "valid_base": base_valid}
+    return {"win_row": win_row_v, "slot": slot_v, "valid": inv_valid}
 
 
 def gather_window_voxels(

@@ -22,7 +22,10 @@ import numpy as np
 import pytest
 
 # persistent compile cache makes repeated test runs dramatically faster
-jax.config.update("jax_compilation_cache_dir", "/tmp/mssvt_jax_cache")
+# (repo-local: survives /tmp cleanup between sessions)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

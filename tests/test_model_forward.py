@@ -316,9 +316,6 @@ def test_pallas_kernels_model_parity(model_and_batch, monkeypatch):
     monkeypatch.setenv("MSSVT_PALLAS", "off")
     ref = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
     monkeypatch.setenv("MSSVT_PALLAS", "interpret")
-    # force the fused 3-NN interp epilogue through the interpreter too (it
-    # defaults off on TPU — slower e2e — but must stay correct)
-    monkeypatch.setenv("MSSVT_FUSE_INTERP", "on")
     got = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
     rs, gs = np.asarray(ref["final_scores"]), np.asarray(got["final_scores"])
     rb, gb = np.asarray(ref["final_boxes"]), np.asarray(got["final_boxes"])

@@ -293,92 +293,6 @@ def test_inverse_map_old_path(rng, two_scale):
                 assert inv_v[vrow] and inv_w[vrow] == w and inv_s[vrow] == j
 
 
-@pytest.mark.parametrize("fill_mode", ["xla_fill"])
-def test_scatter_win1_features_parity(rng, monkeypatch, fill_mode):
-    """The scatter-built win1-region feature buffer equals the gather form,
-    including the even-parity query run beyond the win1 capacity."""
-    monkeypatch.setenv("MSSVT_PALLAS", fill_mode)
-    from mssvt_tpu.models.backbones_3d.mssvt import _scatter_win1_features
-    from mssvt_tpu.ops.sampling import gather_along_batch, group_features
-
-    n = 80
-    voxels = make_voxels(rng, n)
-    cap_v = 96
-    pad = np.full((cap_v, 4), -1, np.int32)
-    pad[:n] = voxels
-    valid = np.arange(cap_v) < n
-    feats = jnp.asarray(
-        rng.standard_normal((cap_v, 8)).astype(np.float32)
-    ) * jnp.asarray(valid)[:, None]
-
-    max_windows = 48
-    win_coords, win_valid, _, _ = window_partition(
-        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, max_windows,
-        batch_size=2,
-    )
-    tables = build_query_tables(WIN1, WIN2)
-    cap1, cap2 = 20, 40
-    g = gather_window_voxels(
-        win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
-        SHAPE, WIN1, tables, max_num_win1=cap1, max_num_win2=cap2,
-        batch_size=2, return_inverse=True,
-        buffers=("odd", "even", "win1", "win2"),
-    )
-    inv = g["inv_win1"]
-    assert "valid_base" in inv
-    k1_total = int(tables.eligibility[:, 2].sum())
-    cap_s = min(k1_total, cap2)
-    nw = g["win1"]["ind"].shape[0]
-
-    scat = _scatter_win1_features(feats, inv, nw, cap_s)
-    # win1 slice parity vs the gather form
-    want1 = group_features(feats, g["win1"]["ind"])
-    np.testing.assert_allclose(np.asarray(scat[:, :cap1]), np.asarray(want1))
-    # even run parity: rows start at the window's odd count
-    nq = g["even"]["ind"].shape[1]
-    sel = jnp.minimum(
-        g["even"]["start"][:, None] + jnp.arange(nq, dtype=jnp.int32)[None],
-        cap_s - 1)
-    got_even = gather_along_batch(scat, sel) * (~g["even"]["mask"])[..., None]
-    want_even = group_features(feats, g["even"]["ind"])
-    np.testing.assert_allclose(
-        np.asarray(got_even), np.asarray(want_even), atol=1e-6)
-
-
-def test_scatter_single_scale_parity(rng, monkeypatch):
-    """Single-scale (compress-block) inverse map: scatter-built key features
-    equal the gather form."""
-    monkeypatch.setenv("MSSVT_PALLAS", "xla_fill")
-    from mssvt_tpu.models.backbones_3d.mssvt import _scatter_win1_features
-    from mssvt_tpu.ops.sampling import group_features
-
-    n = 70
-    voxels = make_voxels(rng, n)
-    cap_v = 96
-    pad = np.full((cap_v, 4), -1, np.int32)
-    pad[:n] = voxels
-    valid = np.arange(cap_v) < n
-    feats = jnp.asarray(
-        rng.standard_normal((cap_v, 8)).astype(np.float32)
-    ) * jnp.asarray(valid)[:, None]
-
-    win_coords, win_valid, _, _ = window_partition(
-        jnp.asarray(pad), jnp.asarray(valid), SHAPE, WIN1, 48, batch_size=2)
-    tables = build_query_tables(WIN1)
-    cap1 = 16  # < window volume: capacity truncation must match too
-    g = gather_window_voxels(
-        win_coords, win_valid, jnp.asarray(pad), jnp.asarray(valid),
-        SHAPE, WIN1, tables, max_num_win1=cap1, batch_size=2,
-        return_inverse=True,
-    )
-    inv = g["inv_win1"]
-    assert "valid_base" in inv
-    nw = g["win1"]["ind"].shape[0]
-    scat = _scatter_win1_features(feats, inv, nw, cap1)
-    want = group_features(feats, g["win1"]["ind"])
-    np.testing.assert_allclose(np.asarray(scat), np.asarray(want))
-
-
 def test_even_derive_shift_matches_gather(rng, monkeypatch):
     """The barrel-shift even-run extraction (_barrel_shift_left bit-sweeps)
     returns byte-identical buffers to the take_along_axis form, including

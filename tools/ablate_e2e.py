@@ -34,9 +34,7 @@ Cut points (in each MsSVT block, late to early):
   head       CenterHead decode+NMS removed (raw zeros predictions)
 
 Env A/Bs (variants, not removals) are run with --env NAME=VAL, e.g.
-  --env MSSVT_WIN1_SCATTER=off   gather-built vs scatter-built buffers
   --env MSSVT_INTERP=pallas      single-pass Pallas interpolation kernel
-  --env MSSVT_FUSE_INTERP=on     interpolation fused into attention kernel
   --env MSSVT_ATTN_VARIANT=...   attention kernel core variants
 
 Usage:
@@ -120,12 +118,12 @@ def _make_ablation(name):
                         lambda *a, **k: _zeros_like_tree(real(*a, **k)))
 
     if name == "attn":
-        def stub(self, query, keys, query_mask=None, key_masks=None,
-                 deterministic=True, interp_planes=None, interp_n1=None):
-            if interp_planes is not None:
-                b = query.shape[0]
-                return jnp.zeros((b, int(interp_n1), query.shape[-1]),
-                                 query.dtype)
+        def stub(self, query=None, keys=None, query_mask=None,
+                 key_masks=None, deterministic=True, assembled=None):
+            if assembled is not None:
+                b = assembled["win1_fea"].shape[0]
+                return jnp.zeros((b, int(assembled["nq"]), self.embed_dim),
+                                 self.dtype)
             return jnp.zeros_like(query)
         return _patched(A.MixedScaleAttention, "__call__", stub)
 
@@ -283,7 +281,9 @@ def main():
         os.environ[k] = v
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mssvt_jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.all:

@@ -18,7 +18,6 @@ import gzip
 import json
 import os
 import re
-import sys
 
 
 def load_events(trace_dir: str):
