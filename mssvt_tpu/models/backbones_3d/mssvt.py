@@ -71,7 +71,9 @@ def _writeback_inverse(upd_fea, inv, shortcut):
     Module-level so the ablation harness can stub it."""
     nw_b, n1b, c = upd_fea.shape
     pos = jnp.clip(inv["win_row"] * n1b + inv["slot"], 0, nw_b * n1b - 1)
-    rows = jnp.take(upd_fea.reshape(-1, c), pos, axis=0)
+    # mode="clip" (pos is pre-clipped): avoids jnp.take's fill-mode select
+    # sweep over the (V, C) gathered slab
+    rows = jnp.take(upd_fea.reshape(-1, c), pos, axis=0, mode="clip")
     return jnp.where(inv["valid"][:, None],
                      rows.astype(shortcut.dtype), shortcut)
 

@@ -343,7 +343,12 @@ def group_features(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     # one (1,C) concat that XLA CSEs across calls on the same features.
     v = features.shape[0]
     padded = jnp.concatenate([features, jnp.zeros_like(features[:1])], axis=0)
-    return jnp.take(padded, jnp.where(idx >= 0, idx, v), axis=0)
+    # mode="clip": jnp.take's default fill mode materializes a SECOND
+    # full-output select sweep after the gather (xplane: 6 ms/step across
+    # the block-0 buffers alone). Indices are already routed into [0, v]
+    # by the where (and idx > v clamps to the same zero pad row), so the
+    # clip gather is bit-identical without the sweep.
+    return jnp.take(padded, jnp.where(idx >= 0, idx, v), axis=0, mode="clip")
 
 
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, known_valid=None):

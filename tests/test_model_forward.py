@@ -309,6 +309,7 @@ def test_gather_fast_path_model_parity(model_and_batch, monkeypatch):
             rtol=1e-5, atol=1e-5, err_msg=key)
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 def test_pallas_kernels_model_parity(model_and_batch, monkeypatch):
     """Full-model forward through BOTH Pallas kernels (interpreter) vs the
     XLA paths — loose tolerance (kernel softmax runs f32 vs bf16 einsum)."""

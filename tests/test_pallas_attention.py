@@ -228,6 +228,7 @@ def test_module_param_tree_identical_between_paths(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 @pytest.mark.parametrize("variant,wb", [("b3d", 2), ("b3d", 16), ("slice", 2)])
 def test_fused_kernel_grad_parity_bwd_variants(variant, wb, monkeypatch):
     """Grad parity for the env-selectable backward (variant, supertile)

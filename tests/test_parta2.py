@@ -143,6 +143,7 @@ def parta2_cfg():
     })
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 def test_parta2_forward_and_loss(rng):
     model = build_network(
         model_cfg=parta2_cfg(), num_class=1, class_names=["Car"],

@@ -177,6 +177,7 @@ def make_batch(rng):
     }
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 @pytest.mark.parametrize("which", ["pvrcnn", "pvrcnn_spc", "pointrcnn"])
 def test_two_stage_forward_and_loss(which, rng):
     if which == "pointrcnn":
@@ -303,6 +304,7 @@ def test_vector_pool_oracle():
                 np.testing.assert_allclose(pooled[0, mi, c], 0, atol=1e-6)
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 def test_pvrcnn_plusplus_vector_pool(rng):
     """PVRCNNPlusPlus registry alias + vector-pool SA layer e2e."""
     cfg = pvrcnn_cfg("SPC")

@@ -310,6 +310,7 @@ def test_corner_loss_flip_invariance():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 def test_roi_box_loss_corner_term_changes_loss():
     """corner_loss_weight wires through roi_box_loss and is differentiable."""
     from mssvt_tpu.models.roi_heads.roi_head_template import roi_box_loss

@@ -46,6 +46,7 @@ def _build_and_run(cfg, rng):
     return model, variables, out
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 def test_swap_backbone3d_to_residual(rng):
     """SECOND config with BACKBONE_3D.NAME swapped to VoxelResBackBone8x:
     the NAME must actually select the residual variant."""

@@ -12,6 +12,7 @@ from mssvt_tpu.models.roi_heads.roi_head_template import (
     proposal_layer,
 )
 from mssvt_tpu.ops.pointnet2 import ball_query, points_in_boxes, roipoint_pool3d
+import pytest
 
 
 def test_ball_query_semantics(rng):
@@ -56,6 +57,7 @@ def test_roipoint_pool3d(rng):
     assert inside[: min(16, n_inside)].all()
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 def test_proposal_layer_and_targets(rng):
     b, n = 2, 20
     boxes = np.zeros((b, n, 7), np.float32)

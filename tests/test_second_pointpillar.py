@@ -116,6 +116,7 @@ def make_batch(rng, nz=8, pillar=False):
     }
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 @pytest.mark.parametrize("which", ["second", "pillar"])
 def test_model_family_forward_and_loss(which, rng):
     if which == "second":
@@ -149,6 +150,7 @@ def test_model_family_forward_and_loss(which, rng):
                for g in jax.tree_util.tree_leaves(grads))
 
 
+@pytest.mark.slow  # full-model CPU compile >15s
 def test_anchor_head_multi_atss(rng):
     """SECOND + AnchorHeadMulti grouped heads + ATSS assigner
     (ref: anchor_head_multi.py:9-151, atss_target_assigner.py:7)."""
