@@ -74,11 +74,11 @@ import os as _os
 #           flat-slab (WB*nq, WB*nk_tot) whose off-diagonal 1-1/WB fraction
 #           is pure masked waste in both MXU MACs and VPU softmax area
 #           (the waste is why wb=16 regressed in the flat form)
-#   hstack— HEAD-STACKED batched dots: all heads' group-sliced channel-masked
-#           keys stack along the key axis, so the whole supertile runs 3
-#           batched dots total (scores + numerator + denominator, ~25% fewer
-#           MACs than b3d at H=4) with a lane-butterfly stripe softmax.
-#           Forward-only (the backward keeps its own variant).
+# (A head-stacked variant — all heads' group-sliced channel-masked keys
+#  stacked along the key axis, 3 batched dots total, ~25% fewer MACs at
+#  H=4 — was pruned after TYING its e2e A/B: sync 54.68 vs 54.55,
+#  pipelined 46.31 vs 46.49 ms/frame. The kernel is HBM-bound, so MAC
+#  cuts don't move e2e time. See git history for the core.)
 # Selected once at import; override with MSSVT_ATTN_VARIANT for A/B runs.
 ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "b3d")
 # Supertile width override for A/B runs (0 = use the call-site default).
@@ -132,92 +132,6 @@ def _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale, bf):
         o_sum = ot if o_sum is None else o_sum + ot
         cache.append((a, valid))
     return o_sum.reshape(wb * nq, d), cache
-
-
-def _stripe_max(s, width):
-    """All-reduce max within aligned ``width``-lane stripes of the minor dim.
-
-    XOR-butterfly over lane rotations: partner(i) = i ^ shift stays inside
-    the stripe for every shift < width when stripes are width-aligned, so
-    after log2(width) steps every lane holds its stripe's max. Full-width
-    rolls + selects only — no lane-slicing relayouts, no (…, H, nk) reshape.
-    """
-    n = s.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-    shift = width // 2
-    while shift >= 1:
-        lo = (lane % (2 * shift)) < shift  # partner is i + shift else i - shift
-        partner = jnp.where(lo,
-                            jnp.roll(s, -shift, axis=-1),
-                            jnp.roll(s, shift, axis=-1))
-        s = jnp.maximum(s, partner)
-        shift //= 2
-    del n
-    return s
-
-
-def _per_head_attn_hstack(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale,
-                          bf):
-    """Head-STACKED fwd core: 3 batched dots total for ALL heads.
-
-    The b3d core runs 2 masked full-width dots per head — at H=4 heads over
-    d=128 channels the channel mask wastes (H-1)/H of the score MACs and the
-    (nq, nk_tot)x(nk_tot, d) value dots redo the full output width per head.
-    Here each head's (group-sliced, channel-masked) keys stack along the KEY
-    axis instead: K'' (wb, H*nk, d) with rows [t*nk:(t+1)*nk] =
-    k3[:, g(t)*nk:(g(t)+1)*nk] * chanmask_t. Then
-
-        S  = q3 · K''ᵀ            one batched dot, all heads side by side
-                                   ((wb, nq, H*nk); H*nk == d == 128 for the
-                                   flagship blocks — a full lane tile)
-        E  = exp(S*scale + bias - stripe_max)
-        O  = (E · V'') / (E · W'')
-
-    V'' carries the channel-masked values, so E·V'' lands each head's
-    numerator in its own output channel block with no accumulation; W'' (the
-    channel masks themselves) makes E·W'' the per-stripe softmax denominator
-    already broadcast across that head's channels. The stripe max (lane
-    butterfly, `_stripe_max`) keeps the all-padded-stripe case identical to
-    the per-head softmax (uniform attention over the stripe — the
-    reference's -100-mask semantics, mssvt_utils.py:129-134).
-    """
-    d = q.shape[1]
-    tot_heads = sum(num_heads)
-    ph = d // tot_heads
-    nk = nk_tot // len(num_heads)
-    key_block = []
-    for g, h in enumerate(num_heads):
-        key_block += [g] * h
-    q3 = q.reshape(wb, nq, d)
-    k3 = k.reshape(wb, nk_tot, d)
-    v3 = v.reshape(wb, nk_tot, d)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
-    ks, vs, ws, bs = [], [], [], []
-    for t, g in enumerate(key_block):
-        mh = ((lane >= t * ph) & (lane < (t + 1) * ph)).astype(bf)
-        sl = slice(g * nk, (g + 1) * nk)
-        ks.append(k3[:, sl] * mh)
-        vs.append(v3[:, sl] * mh)
-        ws.append(jnp.broadcast_to(mh, (wb, nk, d)))
-        bs.append(bias3[:, :, sl])
-    k_stk = jnp.concatenate(ks, axis=1)   # (wb, H*nk, d)
-    v_stk = jnp.concatenate(vs, axis=1)
-    w_stk = jnp.concatenate(ws, axis=1)
-    b_stk = jnp.concatenate(bs, axis=2)   # (wb, 1, H*nk)
-    s = jax.lax.dot_general(
-        q3, k_stk, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (wb, nq, H*nk)
-    s = s * scale + b_stk
-    e = jnp.exp(s - _stripe_max(s, nk))
-    eb = e.astype(bf)
-    num = jax.lax.dot_general(
-        eb, v_stk, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (wb, nq, d)
-    den = jax.lax.dot_general(
-        eb, w_stk, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    o = num / (den + 1e-30)
-    return o.reshape(wb * nq, d), None
 
 
 def _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot, scale, bf):
@@ -322,12 +236,10 @@ def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
     v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
          + bv).astype(bf)
 
-    if variant in ("b3d", "hstack"):
+    if variant == "b3d":
         bias3 = bias_ref[:][:, None, :].astype(jnp.float32)  # (WB, 1, nk_tot)
-        core = (_per_head_attn_hstack if variant == "hstack"
-                else _per_head_attn_b3d)
-        o, _ = core(q, k, v, bias3, num_heads, wb, nq, nk_tot,
-                    float(scale), bf)
+        o, _ = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot,
+                                  float(scale), bf)
     else:
         bias_row = bias_ref[0, 0:1].astype(jnp.float32)  # (1, WB*nk_tot)
         o, _ = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
@@ -440,8 +352,8 @@ def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype,
     bvec = jnp.stack([bq, bk, bv, bp]).astype(bf)   # (4, D)
     bvec = jnp.pad(bvec, ((0, 4), (0, 0)))          # (8, D) sublane tile
 
-    if variant in ("b3d", "hstack"):
-        # batched forms read the bias as (wb, nk_tot) sublane-tiled rows
+    if variant == "b3d":
+        # batched form reads the bias as (wb, nk_tot) sublane-tiled rows
         bias2 = key_bias.astype(jnp.float32).reshape(nwp, nk_tot)
     else:
         # (G, 8, wb*nk_tot) with the real per-key bias in sublane row 0: a
@@ -458,7 +370,7 @@ def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype,
 
 
 def _common_specs(wb, nq, nk_tot, d, variant):
-    if variant in ("b3d", "hstack"):
+    if variant == "b3d":
         bias_spec = pl.BlockSpec((wb, nk_tot), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     else:
@@ -720,9 +632,6 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
     # of the forward's window_block
     wb = ATTN_BWD_WB or window_block
     variant = ATTN_BWD_VARIANT
-    # the hstack core is forward-only (returns no attention-map cache for
-    # the chain rule); the backward supports the mask/slice/b3d recompute
-    assert variant in ("mask", "slice", "b3d"), variant
     q2, k2, bias2, wmats, bvec, dm = _prep_inputs(
         query, keys, key_bias, proj, num_heads, wb, compute_dtype, variant)
     nw, nwp, nq, d = dm["nw"], dm["nwp"], dm["nq"], dm["d"]
@@ -867,9 +776,8 @@ def _attn_assembled_kernel(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
          + bv).astype(bf)
 
     bias3 = bias_ref[:][:, None, :].astype(jnp.float32)  # (wb, 1, nk_tot)
-    core = (_per_head_attn_hstack if ATTN_VARIANT == "hstack"
-            else _per_head_attn_b3d)
-    o, _ = core(q, k, v, bias3, num_heads, wb, nq, nk_tot, float(scale), bf)
+    o, _ = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot,
+                              float(scale), bf)
     o = jax.lax.dot(o.astype(bf), wp, preferred_element_type=jnp.float32) + bp
     o_ref[:] = o.astype(out_dtype)
 

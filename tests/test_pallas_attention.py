@@ -228,75 +228,6 @@ def test_module_param_tree_identical_between_paths(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("num_heads", [(2, 2), (1, 3)])
-@pytest.mark.parametrize("entry", ["plain", "assembled"])
-def test_fwd_variant_hstack_matches_b3d(num_heads, entry, monkeypatch):
-    """The head-stacked fwd core (one score dot + num/den value dots for all
-    heads) must match the default b3d core bit-for-tolerance on both kernel
-    entry points, including fully-padded key stripes (uniform attention)."""
-    import mssvt_tpu.ops.pallas_attention as pa
-    from mssvt_tpu.ops.pallas_attention import (
-        fused_window_attention_assembled)
-
-    rng = np.random.default_rng(3)
-    nw, nq, nk_tot, d = 10, 16, 32, 64
-    scale = (d // sum(num_heads)) ** -0.5
-    groups = len(num_heads)
-    nk = nk_tot // groups
-    km = rng.random((nw, nk_tot)) < 0.3
-    km[0, :nk] = True   # group-0 stripe fully padded: uniform-softmax case
-    km[1, nk:] = True   # group-1 stripe fully padded
-    bias = jnp.asarray(np.where(km, -100.0, 0.0).astype(np.float32))
-
-    if entry == "plain":
-        query = jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32))
-        keys = jnp.asarray(rng.normal(size=(nw, nk_tot, d))
-                           .astype(np.float32))
-        proj = tuple(jnp.asarray(p) for p in _rand_proj(rng, num_heads, d))
-
-        def run():
-            return np.asarray(fused_window_attention(
-                query, keys, proj, bias, num_heads=num_heads, scale=scale,
-                interpret=True, compute_dtype=jnp.float32))
-    else:
-        n1cap, nk1 = 24, nk
-        win1 = jnp.asarray(rng.normal(size=(nw, n1cap, d))
-                           .astype(np.float32))
-        k2 = jnp.asarray(rng.normal(size=(nw, nk_tot - nk1, d))
-                         .astype(np.float32))
-        asm = dict(
-            win1_fea=win1, k2_fea=k2,
-            fps1=jnp.asarray(rng.integers(0, n1cap, (nw, nk1))
-                             .astype(np.int32)),
-            k_mask1=jnp.asarray(km[:, :nk1]),
-            q_ext=None, q_keep=jnp.ones((nw, nq), jnp.float32),
-            q_rel=tuple(jnp.asarray(rng.normal(size=(nw, nq))
-                                    .astype(np.float32)) for _ in range(3)),
-            k_rel=tuple(jnp.asarray(rng.normal(size=(nw, nk_tot))
-                                    .astype(np.float32)) for _ in range(3)),
-            pos_base=jnp.asarray(rng.normal(size=(nw, d)).astype(np.float32)),
-            pos_w=jnp.asarray(rng.normal(size=(3, d)).astype(np.float32)),
-        )
-        proj = tuple(jnp.asarray(p) for p in _rand_proj(rng, num_heads, d))
-
-        def run():
-            return np.asarray(fused_window_attention_assembled(
-                asm["win1_fea"], asm["k2_fea"], asm["fps1"], asm["k_mask1"],
-                jnp.zeros((nw, 1, d), jnp.float32), asm["q_keep"],
-                asm["k_rel"], asm["q_rel"], asm["pos_base"], asm["pos_w"],
-                proj, bias, num_heads=num_heads, scale=scale, q_prefix=True,
-                nq=nq, interpret=True, compute_dtype=jnp.float32))
-
-    monkeypatch.setattr(pa, "ATTN_VARIANT", "b3d")
-    jax.clear_caches()
-    want = run()
-    monkeypatch.setattr(pa, "ATTN_VARIANT", "hstack")
-    jax.clear_caches()
-    got = run()
-    jax.clear_caches()
-    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
-
-
 @pytest.mark.slow  # full-model CPU compile >15s
 @pytest.mark.parametrize("variant,wb", [("b3d", 2), ("b3d", 16), ("slice", 2)])
 def test_fused_kernel_grad_parity_bwd_variants(variant, wb, monkeypatch):
