@@ -390,14 +390,16 @@ def _gather_via_own_cells(
     own_key = linearize_coords(coords // div, win_grid, valid)  # (V,)
     lid = ((coords[:, 3] % wx) * wy + (coords[:, 2] % wy)) * wz \
         + (coords[:, 1] % wz)  # (V,) in-cell local id
+    # row n_cells is the never-written padding row (nbr_row routes invalid
+    # neighbors there); allocating it inside the table kills a concat+copy
+    # of the whole (n_cells, cv) slab (measured 3.1 ms/step at the first
+    # compress block's 118 MB table)
     slot = jnp.where(own_key != INVALID_KEY, own_key * cv + lid,
-                     n_cells * cv + jnp.arange(v, dtype=jnp.int32))
-    table = jnp.full((n_cells * cv + v,), -1, jnp.int32).at[slot].set(
+                     (n_cells + 1) * cv + jnp.arange(v, dtype=jnp.int32))
+    table = jnp.full(((n_cells + 1) * cv + v,), -1, jnp.int32).at[slot].set(
         jnp.arange(v, dtype=jnp.int32), mode="drop", unique_indices=True
     )
-    table2 = jnp.concatenate(
-        [table[:n_cells * cv].reshape(n_cells, cv),
-         jnp.full((1, cv), -1, jnp.int32)], axis=0)  # + padding row
+    table2 = table[:(n_cells + 1) * cv].reshape(n_cells + 1, cv)
 
     # 2. neighbor rows -> box table in traversal order
     deltas = jnp.asarray(tables.deltas)  # (D, 3) xyz
