@@ -35,7 +35,6 @@ import os
 from ...core.sparse import SparseVoxels
 from ...ops.pallas_ffn import fused_residual_ffn
 from ...ops.pallas_fill import PACK5_ZERO
-from ...ops.pallas_interp import interp_win1_pallas
 from ...ops.sampling import (
     farthest_point_sample_planes_select,
     group_features,
@@ -277,31 +276,16 @@ class MsSVTBlock(nn.Module):
             **attn_in,
         )  # (NW, nq, C)
         if self.use_feature_interpolation:
-            interp_mode = os.environ.get("MSSVT_INTERP", "xla")
-            use_pallas_interp = (
-                interp_mode in ("pallas", "interpret")
-                and _use_fused_kernel(nq, deterministic,
-                                      dropout=self.dropout))
-            if use_pallas_interp:
-                # single-pass kernel: W3 built in VMEM + one batched
-                # matmul; the (NW, n1, nq) matrices never hit HBM
-                q_keep = (~q["mask"]).astype(jnp.float32)
-                win1_fea = interp_win1_pallas(
-                    attn_fea,
-                    (win1_m[0], win1_m[1], win1_m[2],
-                     q_m[0], q_m[1], q_m[2], q_keep),
-                    win1b["ind"].shape[1],
-                    interpret=(interp_mode == "interpret"),
-                    compute_dtype=self.dtype)
-            else:
-                # dense W3 form: one (NW, n1, nq) matrix + one batched
-                # matmul (vs the three_nn idx/weight + one-hot chain)
-                w3 = three_interp_weights_planes(
-                    win1_m[0], win1_m[1], win1_m[2],
-                    q_m[0], q_m[1], q_m[2])
-                win1_fea = jnp.einsum(
-                    "bnm,bmc->bnc", w3.astype(attn_fea.dtype), attn_fea,
-                    preferred_element_type=attn_fea.dtype)  # (NW, n1, C)
+            # dense W3 form: one (NW, n1, nq) matrix + one batched matmul
+            # (vs the three_nn idx/weight + one-hot chain). A single-pass
+            # Pallas variant (W3 built in VMEM) lost its A/B by 22 ms/frame
+            # sync and was pruned — see git history (ops/pallas_interp.py).
+            w3 = three_interp_weights_planes(
+                win1_m[0], win1_m[1], win1_m[2],
+                q_m[0], q_m[1], q_m[2])
+            win1_fea = jnp.einsum(
+                "bnm,bmc->bnc", w3.astype(attn_fea.dtype), attn_fea,
+                preferred_element_type=attn_fea.dtype)  # (NW, n1, C)
             upd_ind, upd_fea = win1b["ind"], win1_fea
         else:
             upd_ind, upd_fea = q["ind"], attn_fea
@@ -429,20 +413,24 @@ class MsSVTCompressBlock(nn.Module):
         q_fea = jnp.max(k_fea, axis=1, keepdims=True)  # (NW, 1, C)
 
         # position embedding on keys only; the reference does NOT zero-mask
-        # relative coords here (ref :372-374)
-        ns = ox.shape[1]
-        k_pos = self.pos_proj(jnp.stack([
+        # relative coords here (ref :372-374). Plane decomposition: no
+        # (NW, ns, 6) stack, no K=6 GEMM (see PosProjection.deep_from_planes).
+        k_pos = self.pos_proj.deep_from_planes(
             mx - qcx[:, None], my - qcy[:, None], mz - qcz[:, None],
-            jnp.broadcast_to(qcx[:, None], (qcx.shape[0], ns)),
-            jnp.broadcast_to(qcy[:, None], (qcy.shape[0], ns)),
-            jnp.broadcast_to(qcz[:, None], (qcz.shape[0], ns)),
-        ], axis=-1))
+            qcx, qcy, qcz)
         k_fea = k_fea + k_pos
 
+        # query rows padded to the fused kernel's sublane tile: at nq=1 the
+        # attention fell back to the XLA einsum chain (proj/split/softmax
+        # sweeps all materialize in HBM); 7 dummy rows ride along and row 0
+        # is the only consumed row either way
+        q_pad = jnp.concatenate(
+            [q_fea, jnp.zeros((q_fea.shape[0], 7, q_fea.shape[2]),
+                              q_fea.dtype)], axis=1)
         attn = self.ms_attn(
-            query=q_fea, keys=k_fea, key_masks=k["mask"],
+            query=q_pad, keys=k_fea, key_masks=k["mask"],
             deterministic=deterministic,
-        )  # (NW, 1, C)
+        )  # (NW, 8, C)
         new = attn[:, 0, :]
 
         act = self.linear2(self.dropout1(

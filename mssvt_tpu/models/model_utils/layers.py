@@ -172,3 +172,21 @@ class PosProjection(nn.Module):
                + rz[..., None].astype(self.dtype) * w[2]
                + base[:, None, :])
         return nn.relu(out)
+
+    def deep_from_planes(self, rx, ry, rz, cx, cy, cz):
+        """Deep-path (compress-block) embedding from relative-coordinate
+        planes: layer 0 collapses exactly like ``from_planes`` (no
+        (NW, cap, 6) stack, no K=6 GEMM); layer 1 stays the token-wise
+        Dense+ReLU on the (NW, cap, C) activations."""
+        assert self.deep, "deep_from_planes is the single-scale path"
+        self.proj0(jnp.zeros((1, 6), self.dtype))  # materialize params
+        p = self.get_variable("params", "proj0")
+        w = jnp.asarray(p["kernel"], self.dtype)   # (6, C)
+        b = jnp.asarray(p["bias"], self.dtype)     # (C,)
+        ctr = jnp.stack([cx, cy, cz], axis=-1).astype(self.dtype)  # (NW, 3)
+        base = ctr @ w[3:] + b  # (NW, C)
+        x = nn.relu(rx[..., None].astype(self.dtype) * w[0]
+                    + ry[..., None].astype(self.dtype) * w[1]
+                    + rz[..., None].astype(self.dtype) * w[2]
+                    + base[:, None, :])
+        return nn.relu(self.proj1(x))

@@ -189,41 +189,9 @@ def _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot, scale, bf):
     return o, cache
 
 
-def _interp_w3(plane_refs, wb, nq, n1):
-    """Build the 3-NN inverse-distance interpolation matrix in VMEM.
-
-    ``plane_refs`` = (wmx, wmy, wmz (wb, n1), qmx, qmy, qmz, qkeep (wb, nq)).
-    Mirrors ``three_nn_planes`` (ops/sampling.py:118-149) exactly — same
-    ``u2 + k2 - 2*cross`` distance formulation and same first-min tie-break —
-    then folds the 3 picks + inverse-distance weights + query-mask into one
-    dense row-stochastic (wb, n1, nq) matrix (≡ ``three_interpolate``'s
-    dense-matrix form, ops/sampling.py:327-339).
-    """
-    wmx, wmy, wmz, qmx, qmy, qmz, qkeep = (r[:] for r in plane_refs)
-    u2 = (wmx * wmx + wmy * wmy + wmz * wmz)[:, :, None]  # (wb, n1, 1)
-    k2 = (qmx * qmx + qmy * qmy + qmz * qmz)[:, None, :]  # (wb, 1, nq)
-    cross = (wmx[:, :, None] * qmx[:, None, :]
-             + wmy[:, :, None] * qmy[:, None, :]
-             + wmz[:, :, None] * qmz[:, None, :])
-    work = jnp.maximum(u2 + k2 - 2.0 * cross, 0.0)  # (wb, n1, nq)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (wb, n1, nq), 2)
-    w3 = jnp.zeros((wb, n1, nq), jnp.float32)
-    wsum = jnp.zeros((wb, n1, 1), jnp.float32)
-    for _ in range(3):
-        dm = jnp.min(work, axis=2, keepdims=True)
-        ismin = work <= dm
-        jm = jnp.min(jnp.where(ismin, lane, nq), axis=2, keepdims=True)
-        first = lane == jm  # first-occurrence one-hot (argmin tie-break)
-        wgt = 1.0 / jnp.clip(dm, 1e-10, None)
-        w3 = w3 + jnp.where(first, wgt, 0.0)
-        wsum = wsum + wgt
-        work = jnp.where(first, 1e38, work)
-    return w3 / wsum * qkeep[:, None, :]
-
-
-def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
+def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, o_ref,
                  num_heads, wb, nq, nk_tot, scale, out_dtype, compute_dtype,
-                 variant, interp_n1=None):
+                 variant):
     bf = compute_dtype
     wq, wk, wv, wp = (w_ref[i] for i in range(4))  # (D, D) each
     bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))  # (1, D)
@@ -245,20 +213,7 @@ def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
         o, _ = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
                               float(scale), bf)
     o = jax.lax.dot(o.astype(bf), wp, preferred_element_type=jnp.float32) + bp
-
-    if interp_n1 is None:
-        o_ref = rest[-1]
-        o_ref[:] = o.astype(out_dtype)
-        return
-    # fused 3-NN interpolation epilogue: out[s] = sum_j W3[s, j] * o[j]
-    plane_refs, o_ref = rest[:-1], rest[-1]
-    n1 = interp_n1
-    w3 = _interp_w3(plane_refs, wb, nq, n1)
-    o3 = o.astype(bf).reshape(wb, nq, o.shape[1])
-    wf = jax.lax.dot_general(
-        w3.astype(bf), o3, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (wb, n1, D)
-    o_ref[:] = wf.reshape(wb * n1, o.shape[1]).astype(out_dtype)
+    o_ref[:] = o.astype(out_dtype)
 
 
 @functools.partial(
@@ -389,23 +344,8 @@ def _common_specs(wb, nq, nk_tot, d, variant):
     ]
 
 
-def _pad_planes(planes, nw, nwp):
-    pad = nwp - nw
-    if not pad:
-        return tuple(p.astype(jnp.float32) for p in planes)
-    return tuple(jnp.pad(p.astype(jnp.float32), ((0, pad), (0, 0)))
-                 for p in planes)
-
-
-def _plane_specs(wb, nq, n1):
-    sizes = (n1, n1, n1, nq, nq, nq, nq)
-    return [pl.BlockSpec((wb, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for s in sizes]
-
-
 def _fused_attention_fwd_impl(query, keys, proj, key_bias, num_heads, scale,
-                              window_block, interpret, compute_dtype,
-                              planes=None, n1=None):
+                              window_block, interpret, compute_dtype):
     wb = window_block
     variant = ATTN_VARIANT
     q2, k2, bias2, wmats, bvec, dm = _prep_inputs(
@@ -416,14 +356,11 @@ def _fused_attention_fwd_impl(query, keys, proj, key_bias, num_heads, scale,
         _attn_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
         nk_tot=dm["nk_tot"], scale=float(scale),
         out_dtype=query.dtype, compute_dtype=compute_dtype,
-        variant=variant, interp_n1=n1,
+        variant=variant,
     )
     in_specs = _common_specs(wb, nq, dm["nk_tot"], d, variant)
     args = [q2, k2, bias2, wmats, bvec]
-    out_rows = nq if n1 is None else n1
-    if n1 is not None:
-        in_specs += _plane_specs(wb, nq, n1)
-        args += list(_pad_planes(planes, dm["nw"], nwp))
+    out_rows = nq
     out = pl.pallas_call(
         kernel,
         grid=(nwp // wb,),
@@ -438,7 +375,7 @@ def _fused_attention_fwd_impl(query, keys, proj, key_bias, num_heads, scale,
 
 def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
                      num_heads, wb, nq, nk_tot, scale, compute_dtype,
-                     variant, interp_n1=None):
+                     variant):
     """Mirror of ``_attn_kernel``: recompute the attention in VMEM, then run
     the chain rule backwards (per head, channel-sliced like the forward).
     Weight/bias grads accumulate across the sequential TPU grid into a
@@ -455,11 +392,7 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
          + bk).astype(bf)
     v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
          + bv).astype(bf)
-    if interp_n1 is None:
-        g_ref, dq_ref, dk_ref, dw_ref, db_ref = rest
-    else:
-        plane_refs = rest[:7]
-        g_ref, dq_ref, dk_ref, dw_ref, db_ref = rest[7:]
+    g_ref, dq_ref, dk_ref, dw_ref, db_ref = rest
 
     if variant == "b3d":
         bias3 = bias_ref[:][:, None, :].astype(jnp.float32)
@@ -470,18 +403,7 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
         o1, cache = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
                                    float(scale), bf)
 
-    if interp_n1 is None:
-        g = g_ref[:].astype(bf)  # (M, D)
-    else:
-        # cotangent arrives on the interpolated (wb*n1, D) output; pull it
-        # back through the (nondiff) W3 matrix: g_q = W3^T @ g_n1 per window
-        d_ = q.shape[1]
-        w3 = _interp_w3(plane_refs, wb, nq, interp_n1)
-        g3 = g_ref[:].astype(bf).reshape(wb, interp_n1, d_)
-        g = jax.lax.dot_general(
-            w3.astype(bf), g3, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32
-        ).reshape(wb * nq, d_).astype(bf)  # (M, D)
+    g = g_ref[:].astype(bf)  # (M, D)
     # output projection
     do1 = jax.lax.dot_general(  # g @ wp^T
         g, wp, (((1,), (1,)), ((), ())),
@@ -625,8 +547,7 @@ def _finish_bwd(qraw, kraw, q, wq, wk, wv, dq_p, dk_p, dv_p, dwp, dbp,
 
 
 def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
-                              scale, window_block, interpret, compute_dtype,
-                              planes=None, n1=None):
+                              scale, window_block, interpret, compute_dtype):
     # the backward picks its own supertile/variant point (see ATTN_BWD_*);
     # it re-preps all inputs from the VJP residuals so this is independent
     # of the forward's window_block
@@ -639,19 +560,16 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
     pad = nwp - nw
     if pad:
         g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
-    g_rows = nq if n1 is None else n1
+    g_rows = nq
     g2 = g.reshape(nwp * g_rows, d)
 
     kernel = functools.partial(
         _attn_bwd_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
         nk_tot=nk_tot, scale=float(scale), compute_dtype=compute_dtype,
-        variant=variant, interp_n1=n1,
+        variant=variant,
     )
     extra_specs = []
     extra_args = []
-    if n1 is not None:
-        extra_specs += _plane_specs(wb, nq, n1)
-        extra_args += list(_pad_planes(planes, nw, nwp))
     dq2, dk2, dw, db = pl.pallas_call(
         kernel,
         grid=(nwp // wb,),
@@ -691,8 +609,10 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
 
 
 # (A fused 3-NN interpolation epilogue variant of the kernel was pruned
-#  after losing its e2e A/B by 5-15 ms/frame; the shared planes/n1 plumbing
-#  in the impl functions remains for the standalone pallas_interp kernel.)
+#  after losing its e2e A/B by 5-15 ms/frame; the standalone pallas_interp
+#  kernel variant lost its own A/B harder — sync 77.1 vs 54.6 ms/frame,
+#  2026-08-19 — and was pruned with its planes/n1 plumbing. The dense-W3
+#  XLA chain is the winner; see git history for both kernels.)
 
 
 # ---------------------------------------------------------------------------

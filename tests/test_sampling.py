@@ -129,42 +129,3 @@ def test_three_interp_weights_planes_matches_chain():
     # rows are stochastic over the 3 picks
     np.testing.assert_allclose(np.asarray(jnp.sum(w3, axis=-1)), 1.0,
                                rtol=1e-5)
-
-
-def test_interp_win1_pallas_matches_w3():
-    """Standalone Pallas interp kernel (interpret) == dense-W3 XLA form,
-    modulo the kernel's query-mask fold (use all-live queries here), plus
-    grad parity through the custom VJP."""
-    import jax
-    import numpy as np
-    from mssvt_tpu.ops.pallas_interp import interp_win1_pallas
-    from mssvt_tpu.ops.sampling import three_interp_weights_planes
-
-    rng = np.random.default_rng(3)
-    nw, n1, nq, c = 7, 16, 8, 8
-    wm = [jnp.asarray(rng.standard_normal((nw, n1)).astype(np.float32))
-          for _ in range(3)]
-    qm = [jnp.asarray(rng.standard_normal((nw, nq)).astype(np.float32))
-          for _ in range(3)]
-    qkeep = jnp.ones((nw, nq), jnp.float32)
-    attn = jnp.asarray(rng.standard_normal((nw, nq, c)).astype(np.float32))
-
-    w3 = three_interp_weights_planes(wm[0], wm[1], wm[2], qm[0], qm[1], qm[2])
-    want = jnp.einsum("bnm,bmc->bnc", w3, attn)
-
-    planes = (wm[0], wm[1], wm[2], qm[0], qm[1], qm[2], qkeep)
-    got = interp_win1_pallas(attn, planes, n1, window_block=4,
-                             interpret=True, compute_dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-4, atol=1e-4)
-
-    # VJP: d_attn == W3^T g; planes get zero cotangents
-    g = jnp.asarray(rng.standard_normal((nw, n1, c)).astype(np.float32))
-    _, vjp = jax.vjp(
-        lambda a: interp_win1_pallas(a, planes, n1, window_block=4,
-                                     interpret=True,
-                                     compute_dtype=jnp.float32), attn)
-    (d_attn,) = vjp(g)
-    want_d = jnp.einsum("bnm,bnc->bmc", w3, g)
-    np.testing.assert_allclose(np.asarray(d_attn), np.asarray(want_d),
-                               rtol=1e-4, atol=1e-4)

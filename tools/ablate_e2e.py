@@ -34,7 +34,6 @@ Cut points (in each MsSVT block, late to early):
   head       CenterHead decode+NMS removed (raw zeros predictions)
 
 Env A/Bs (variants, not removals) are run with --env NAME=VAL, e.g.
-  --env MSSVT_INTERP=pallas      single-pass Pallas interpolation kernel
   --env MSSVT_ATTN_VARIANT=...   attention kernel core variants
 
 Usage:
