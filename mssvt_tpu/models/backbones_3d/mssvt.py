@@ -420,17 +420,15 @@ class MsSVTCompressBlock(nn.Module):
             qcx, qcy, qcz)
         k_fea = k_fea + k_pos
 
-        # query rows padded to the fused kernel's sublane tile: at nq=1 the
-        # attention fell back to the XLA einsum chain (proj/split/softmax
-        # sweeps all materialize in HBM); 7 dummy rows ride along and row 0
-        # is the only consumed row either way
-        q_pad = jnp.concatenate(
-            [q_fea, jnp.zeros((q_fea.shape[0], 7, q_fea.shape[2]),
-                              q_fea.dtype)], axis=1)
+        # nq=1 stays on the XLA einsum path on purpose: padding queries to
+        # the kernel's 8-row sublane tile to ride the fused kernel A/B'd
+        # WORSE (sync 55.2 vs 53.4 ms/frame, 2026-08-19) — at nk=16 the
+        # b3d kernel runs tiny per-window MXU instances while XLA's
+        # token-wise (NW*ns, C) GEMM chain keeps the MXU dense.
         attn = self.ms_attn(
-            query=q_pad, keys=k_fea, key_masks=k["mask"],
+            query=q_fea, keys=k_fea, key_masks=k["mask"],
             deterministic=deterministic,
-        )  # (NW, 8, C)
+        )  # (NW, 1, C)
         new = attn[:, 0, :]
 
         act = self.linear2(self.dropout1(
