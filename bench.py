@@ -134,6 +134,25 @@ def run_train(cfg, model, scenes, batch_size):
             params, batch_stats, opt_state, s, jax.random.PRNGKey(3))
     float(np.asarray(loss))
 
+    # --profile [dir]: xplane trace around a few steady train steps (same
+    # guard as the inference path — the axon tunnel may not support tracing)
+    if "--profile" in sys.argv:
+        ai = sys.argv.index("--profile")
+        tdir = (sys.argv[ai + 1] if len(sys.argv) > ai + 1
+                and not sys.argv[ai + 1].startswith("-")
+                else "/tmp/mssvt_train_trace")
+        try:
+            jax.profiler.start_trace(tdir)
+            for i in range(2):
+                params, batch_stats, opt_state, loss, _ = step(
+                    params, batch_stats, opt_state, sharded[i % len(sharded)],
+                    jax.random.PRNGKey(100 + i))
+                float(np.asarray(loss))
+            jax.profiler.stop_trace()
+            print(f"# train profiler trace written to {tdir}", file=sys.stderr)
+        except Exception as e:
+            print(f"# train profiler trace failed: {e}", file=sys.stderr)
+
     n_iter = 12
     t0 = time.time()
     sink = 0.0

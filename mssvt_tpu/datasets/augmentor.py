@@ -21,12 +21,18 @@ from ..utils.geometry import limit_period, mask_points_in_boxes, rotate_points_a
 # ------------------------- core transforms ---------------------------- #
 
 def random_flip_along_x(gt_boxes, points):
-    """Flip y (ref: augmentor_utils.py random_flip_along_x)."""
+    """Flip y (ref: augmentor_utils.py random_flip_along_x).
+
+    Boxes may carry velocity columns [vx, vy] at 7:9 (multi-sweep datasets,
+    e.g. Lyft): flipping y negates vy (ref: augmentor_utils.py:20-22).
+    """
     enable = np.random.choice([False, True], p=[0.5, 0.5])
     if enable:
         gt_boxes[:, 1] = -gt_boxes[:, 1]
         gt_boxes[:, 6] = -gt_boxes[:, 6]
         points[:, 1] = -points[:, 1]
+        if gt_boxes.shape[1] > 8:
+            gt_boxes[:, 8] = -gt_boxes[:, 8]
     return gt_boxes, points
 
 
@@ -36,6 +42,9 @@ def random_flip_along_y(gt_boxes, points):
         gt_boxes[:, 0] = -gt_boxes[:, 0]
         gt_boxes[:, 6] = -(gt_boxes[:, 6] + np.pi)
         points[:, 0] = -points[:, 0]
+        if gt_boxes.shape[1] > 7:
+            # flipping x negates vx (ref: augmentor_utils.py:37-39)
+            gt_boxes[:, 7] = -gt_boxes[:, 7]
     return gt_boxes, points
 
 
@@ -45,6 +54,11 @@ def global_rotation(gt_boxes, points, rot_range):
     if len(gt_boxes):
         gt_boxes[:, 0:3] = rotate_points_along_z(gt_boxes[:, 0:3], angle)
         gt_boxes[:, 6] += angle
+        if gt_boxes.shape[1] > 8:
+            # rotate the velocity vector too (ref: augmentor_utils.py:55-59)
+            vel3 = np.concatenate(
+                [gt_boxes[:, 7:9], np.zeros((len(gt_boxes), 1))], axis=1)
+            gt_boxes[:, 7:9] = rotate_points_along_z(vel3, angle)[:, :2]
     return gt_boxes, points
 
 

@@ -139,6 +139,35 @@ class DataProcessor:
         data_dict["voxel_num_points"] = num_points
         return data_dict
 
+    def calculate_grid_size(self, data_dict=None, config=None):
+        """Config-named grid-size derivation without voxelization (CaDDN
+        pipelines voxelize on-device; ref: data_processor.py:177-183)."""
+        if data_dict is None:
+            grid_size = (
+                self.point_cloud_range[3:6] - self.point_cloud_range[0:3]
+            ) / np.array(config["VOXEL_SIZE"])
+            self.grid_size = np.round(grid_size).astype(np.int64)
+            self.voxel_size = list(config["VOXEL_SIZE"])
+            return partial(self.calculate_grid_size, config=config)
+        return data_dict
+
+    def downsample_depth_map(self, data_dict=None, config=None):
+        """Block-mean depth-map downsampling (ref: data_processor.py:185-194,
+        skimage.transform.downscale_local_mean semantics: zero-pad to a
+        multiple of the factor, then mean over each block)."""
+        if data_dict is None:
+            self.depth_downsample_factor = int(config["DOWNSAMPLE_FACTOR"])
+            return partial(self.downsample_depth_map, config=config)
+        depth = np.asarray(data_dict["depth_maps"], np.float64)
+        f = self.depth_downsample_factor
+        h, w = depth.shape[:2]
+        ph, pw = (-h) % f, (-w) % f
+        if ph or pw:
+            depth = np.pad(depth, ((0, ph), (0, pw)))
+        hh, ww = depth.shape[0] // f, depth.shape[1] // f
+        data_dict["depth_maps"] = depth.reshape(hh, f, ww, f).mean(axis=(1, 3))
+        return data_dict
+
     def forward(self, data_dict):
         for cur_processor in self.data_processor_queue:
             data_dict = cur_processor(data_dict=data_dict)

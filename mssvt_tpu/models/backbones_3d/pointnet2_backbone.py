@@ -80,8 +80,10 @@ class FPModule(nn.Module):
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
                  train: bool = False):
         d2, idx = three_nn(unknown_xyz, known_xyz)
-        d2 = jnp.clip(d2, 1e-10, None)
-        w = 1.0 / d2
+        # ref FP module: dist_recip = 1 / (sqrt(d2) + 1e-8) — inverse L2
+        # distance (the torch three_nn wrapper sqrt's the kernel's squared
+        # output; ref: pointnet2_batch/pointnet2_modules.py:153-156)
+        w = 1.0 / (jnp.sqrt(d2) + 1e-8)
         w = w / w.sum(-1, keepdims=True)
         interp = three_interpolate(known_feats, idx, w)
         if unknown_feats is not None:

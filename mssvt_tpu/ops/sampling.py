@@ -191,6 +191,12 @@ def three_interp_weights_planes(ux, uy, uz, kx, ky, kz):
     both the (B, n, 3, m) one-hot and the separate idx/weight tensors —
     the picks fold into the argmin sweeps directly. Same distance form and
     first-min tie-break as ``three_nn_planes``.
+
+    Weight form parity: the reference's batch ``three_nn`` wrapper returns
+    ``torch.sqrt(dist2)`` (pointnet2_batch/pointnet2_utils.py:98) and the
+    MsSVT block weights are ``1 / clamp(sqrt(d2), min=1e-10)``
+    (ref: mssvt_backbone.py:304-307) — inverse L2 distance, NOT inverse
+    squared distance.
     """
     u2 = ux * ux + uy * uy + uz * uz  # (B, n)
     k2 = kx * kx + ky * ky + kz * kz  # (B, m)
@@ -210,7 +216,7 @@ def three_interp_weights_planes(ux, uy, uz, kx, ky, kz):
         d_k = jnp.min(work, axis=-1, keepdims=True)  # (B, n, 1)
         i_k = jnp.argmin(work, axis=-1)[..., None]  # ties → lowest index
         first = lane == i_k
-        wgt = 1.0 / jnp.clip(d_k, 1e-10, None)
+        wgt = 1.0 / jnp.clip(jnp.sqrt(d_k), 1e-10, None)
         w3 = w3 + jnp.where(first, wgt, 0.0)
         wsum = wsum + wgt
         work = jnp.where(first, jnp.inf, work)

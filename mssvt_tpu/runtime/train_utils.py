@@ -17,6 +17,23 @@ from ..parallel.mesh import make_sharded_train_step, shard_batch_for_mesh
 from .checkpoint import CheckpointManager
 
 
+def average_across_hosts(*values):
+    """Cross-process mean of host-side timing scalars.
+
+    The reference averages data/forward/batch wall-clock times across ranks
+    every iteration so the progress bar shows fleet-wide numbers
+    (ref: pcdet/utils/commu_utils.py:143-145, tools/train_utils/
+    train_utils.py:67-69). Single-process: identity (no device work).
+    """
+    if jax.process_count() == 1:
+        return values if len(values) > 1 else values[0]
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(np.asarray(values, np.float64))
+    means = np.mean(np.asarray(arr).reshape(jax.process_count(), -1), axis=0)
+    return tuple(means) if len(values) > 1 else float(means[0])
+
+
 class AverageMeter:
     """Ref: common_utils.py:250-265."""
 
@@ -64,7 +81,7 @@ def train_model(
         end = time.time()
         for batch in train_loader:
             sharded = shard_batch_for_mesh(batch, mesh, batch_size)
-            data_meter.update(time.time() - end)
+            data_meter.update(average_across_hosts(time.time() - end))
 
             rng, step_rng = jax.random.split(rng)
             params, batch_stats, opt_state, loss, tb = train_step(
@@ -75,7 +92,7 @@ def train_model(
             if accumulated_iter % log_interval == 0:
                 loss_v = float(jax.device_get(loss))
                 lr_v = float(lr_fn(accumulated_iter)) if lr_fn else float("nan")
-                batch_meter.update(time.time() - end)
+                batch_meter.update(average_across_hosts(time.time() - end))
                 if logger:
                     logger.info(
                         f"epoch {epoch} it {accumulated_iter} "

@@ -147,3 +147,54 @@ def test_road_plane_placement():
         box = out["gt_boxes"][0]
         z_plane = 0.1 * box[0] + 0.2
         np.testing.assert_allclose(box[2] - box[5] / 2, z_plane, atol=1e-5)
+
+
+def test_velocity_columns_transform_with_flips_and_rotation():
+    """Boxes carrying [vx, vy] at 7:9 (multi-sweep datasets) must have their
+    velocity transformed like the geometry (ref: augmentor_utils.py:20-22,
+    37-39,55-59)."""
+    from mssvt_tpu.datasets.augmentor import (
+        global_rotation, random_flip_along_x, random_flip_along_y)
+
+    def vel_scene():
+        gt = np.array([[5.0, 2.0, 0.0, 2.0, 2.0, 2.0, 0.3, 1.5, -0.7]],
+                      np.float32)
+        pts = np.random.uniform(-1, 1, (10, 4)).astype(np.float32)
+        return gt, pts
+
+    # flip along x (y -> -y): vy negated, vx kept — force the coin to land
+    for _ in range(50):
+        gt, pts = vel_scene()
+        g2, _ = random_flip_along_x(gt.copy(), pts.copy())
+        if g2[0, 1] != gt[0, 1]:  # flip fired
+            assert g2[0, 7] == gt[0, 7] and g2[0, 8] == -gt[0, 8]
+            break
+    else:
+        raise AssertionError("flip never fired in 50 tries")
+
+    # flip along y (x -> -x): vx negated, vy kept
+    for _ in range(50):
+        gt, pts = vel_scene()
+        g2, _ = random_flip_along_y(gt.copy(), pts.copy())
+        if g2[0, 0] != gt[0, 0]:
+            assert g2[0, 7] == -gt[0, 7] and g2[0, 8] == gt[0, 8]
+            break
+    else:
+        raise AssertionError("flip never fired in 50 tries")
+
+    # rotation: (vx, vy) rotates by the same angle as the box center
+    gt, pts = vel_scene()
+    g2, _ = global_rotation(gt.copy(), pts.copy(), [0.7, 0.7])
+    c, s = np.cos(0.7), np.sin(0.7)
+    np.testing.assert_allclose(
+        g2[0, 7:9],
+        [c * gt[0, 7] - s * gt[0, 8], s * gt[0, 7] + c * gt[0, 8]],
+        atol=1e-5)
+
+    # 7-column boxes pass through all three untouched in the velocity slots
+    gt7 = np.array([[5.0, 2.0, 0.0, 2.0, 2.0, 2.0, 0.3]], np.float32)
+    for fn in (random_flip_along_x, random_flip_along_y):
+        g2, _ = fn(gt7.copy(), np.zeros((4, 4), np.float32))
+        assert g2.shape == (1, 7)
+    g2, _ = global_rotation(gt7.copy(), np.zeros((4, 4), np.float32), [0.5, 0.5])
+    assert g2.shape == (1, 7)

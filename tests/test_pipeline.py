@@ -193,3 +193,46 @@ def test_loader_sharding():
     f1 = [b["frame_id"][0] for b in loader1]
     assert not (set(f0) & set(f1))
     assert len(f0) + len(f1) == 6
+
+
+def test_named_processors_grid_size_and_depth_downsample():
+    """Config-named calculate_grid_size / downsample_depth_map processors
+    (ref: data_processor.py:177-194)."""
+    from mssvt_tpu.datasets.processor import DataProcessor
+
+    pcr = [-4.0, -4.0, -2.0, 4.0, 4.0, 2.0]
+    proc = DataProcessor(
+        processor_configs=[
+            {"NAME": "calculate_grid_size", "VOXEL_SIZE": [0.5, 0.5, 1.0]},
+            {"NAME": "downsample_depth_map", "DOWNSAMPLE_FACTOR": 2},
+        ],
+        point_cloud_range=pcr, training=True, num_point_features=4,
+    )
+    np.testing.assert_array_equal(proc.grid_size, [16, 16, 4])
+    assert proc.voxel_size == [0.5, 0.5, 1.0]
+
+    depth = np.arange(6 * 4, dtype=np.float32).reshape(6, 4)
+    out = proc.forward({"points": np.zeros((1, 4), np.float32),
+                        "depth_maps": depth.copy()})
+    got = out["depth_maps"]
+    assert got.shape == (3, 2)
+    # block means (skimage downscale_local_mean semantics)
+    want = depth.reshape(3, 2, 2, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # odd size: zero-padded to a factor multiple before the block mean
+    depth5 = np.ones((5, 3), np.float32)
+    out = proc.forward({"points": np.zeros((1, 4), np.float32),
+                        "depth_maps": depth5})
+    assert out["depth_maps"].shape == (3, 2)
+    np.testing.assert_allclose(out["depth_maps"][0, 0], 1.0)
+    np.testing.assert_allclose(out["depth_maps"][2, 1], 0.25)  # 1 of 4 cells
+
+
+def test_average_across_hosts_single_process_identity():
+    """Cross-host timing mean (ref: commu_utils.py:143-145) degrades to the
+    identity on one process."""
+    from mssvt_tpu.runtime.train_utils import average_across_hosts
+
+    assert average_across_hosts(1.5) == 1.5
+    assert average_across_hosts(1.0, 2.0) == (1.0, 2.0)

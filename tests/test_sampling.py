@@ -117,8 +117,9 @@ def test_three_interp_weights_planes_matches_chain():
     feats = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
 
     d2, idx3 = three_nn_planes(ux, uy, uz, kx, ky, kz)
-    d2 = jnp.clip(d2, 1e-10, None)
-    w = 1.0 / d2
+    # inverse L2-distance weights (the reference's three_nn wrapper sqrt's
+    # the kernel's squared output; ref: mssvt_backbone.py:304-307)
+    w = 1.0 / jnp.clip(jnp.sqrt(d2), 1e-10, None)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     want = three_interpolate(feats, idx3, w)
 
