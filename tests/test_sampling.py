@@ -130,3 +130,84 @@ def test_three_interp_weights_planes_matches_chain():
     # rows are stochastic over the 3 picks
     np.testing.assert_allclose(np.asarray(jnp.sum(w3, axis=-1)), 1.0,
                                rtol=1e-5)
+
+
+def test_group_features_paired_grad_matches_scatter_add():
+    """The inverse-map custom VJP == the plain gather's scatter-add VJP on a
+    synthetic partial permutation (every feature row in at most one slot)."""
+    import numpy as np
+    import jax
+    from mssvt_tpu.ops.sampling import group_features, group_features_paired
+
+    rng = np.random.default_rng(3)
+    v, c, nw, cap = 23, 5, 4, 7
+    x = jnp.asarray(rng.standard_normal((v, c)).astype(np.float32))
+
+    # random partial permutation: assign 18 of 23 rows to distinct slots
+    rows = rng.permutation(v)[:18]
+    slots = rng.permutation(nw * cap)[:18]
+    ind = np.full((nw, cap), -1, np.int32)
+    win_row = np.zeros(v, np.int32)
+    slot = np.zeros(v, np.int32)
+    valid = np.zeros(v, bool)
+    for r, s in zip(rows, slots):
+        ind[s // cap, s % cap] = r
+        win_row[r], slot[r], valid[r] = s // cap, s % cap, True
+    ind, win_row, slot, valid = map(jnp.asarray, (ind, win_row, slot, valid))
+
+    # forwards agree
+    np.testing.assert_array_equal(
+        np.asarray(group_features_paired(x, ind, win_row, slot, valid)),
+        np.asarray(group_features(x, ind)))
+
+    # grads agree with the scatter-add VJP under an arbitrary cotangent
+    ct = jnp.asarray(rng.standard_normal((nw, cap, c)).astype(np.float32))
+    g_plain = jax.grad(lambda f: jnp.vdot(group_features(f, ind), ct))(x)
+    g_pair = jax.grad(lambda f: jnp.vdot(
+        group_features_paired(f, ind, win_row, slot, valid), ct))(x)
+    np.testing.assert_allclose(np.asarray(g_pair), np.asarray(g_plain),
+                               atol=1e-6)
+
+
+def test_writeback_inverse_paired_grad_matches_plain():
+    """Custom-VJP write-back == the plain take/where formulation, values and
+    gradients (both upd_fea and shortcut)."""
+    import numpy as np
+    import jax
+    from mssvt_tpu.ops.sampling import writeback_inverse_paired
+
+    rng = np.random.default_rng(4)
+    v, c, nw, cap = 19, 4, 3, 6
+    rows = rng.permutation(v)[:12]
+    slots = rng.permutation(nw * cap)[:12]
+    ind = np.full((nw, cap), -1, np.int32)
+    win_row = np.zeros(v, np.int32)
+    slot = np.zeros(v, np.int32)
+    valid = np.zeros(v, bool)
+    for r, s in zip(rows, slots):
+        ind[s // cap, s % cap] = r
+        win_row[r], slot[r], valid[r] = s // cap, s % cap, True
+    ind, win_row, slot, valid = map(jnp.asarray, (ind, win_row, slot, valid))
+
+    upd = jnp.asarray(rng.standard_normal((nw, cap, c)).astype(np.float32))
+    short = jnp.asarray(rng.standard_normal((v, c)).astype(np.float32))
+
+    def plain(u, s):
+        pos = jnp.clip(win_row * cap + slot, 0, nw * cap - 1)
+        r = jnp.take(u.reshape(-1, c), pos, axis=0, mode="clip")
+        return jnp.where(valid[:, None], r, s)
+
+    def paired(u, s):
+        return writeback_inverse_paired(u, s, ind, win_row, slot, valid)
+
+    np.testing.assert_allclose(np.asarray(paired(upd, short)),
+                               np.asarray(plain(upd, short)), atol=0)
+
+    ct = jnp.asarray(rng.standard_normal((v, c)).astype(np.float32))
+    for argnum in (0, 1):
+        g_plain = jax.grad(
+            lambda *a: jnp.vdot(plain(*a), ct), argnums=argnum)(upd, short)
+        g_pair = jax.grad(
+            lambda *a: jnp.vdot(paired(*a), ct), argnums=argnum)(upd, short)
+        np.testing.assert_allclose(np.asarray(g_pair), np.asarray(g_plain),
+                                   atol=1e-6, err_msg=f"argnum {argnum}")
