@@ -37,8 +37,11 @@ from ...ops.pallas_ffn import fused_residual_ffn
 from ...ops.pallas_fill import PACK5_ZERO
 from ...ops.sampling import (
     farthest_point_sample_planes_select,
+    gather_along_batch,
     group_features,
+    group_features_paired,
     three_interp_weights_planes,
+    writeback_inverse_paired,
 )
 from ...ops.window import build_query_tables, gather_window_voxels, window_partition
 
@@ -64,10 +67,18 @@ def _window_metric_centers(win_coords, voxel_size, win_size, point_cloud_range):
     return (xyz + 0.5) * ws + mins
 
 
-def _writeback_inverse(upd_fea, inv, shortcut):
+def _writeback_inverse(upd_fea, inv, shortcut, ind=None):
     """Inverse write-back: each voxel row-gathers its updated feature from
     its (window, slot) address; dropped/unassigned voxels keep the shortcut.
-    Module-level so the ablation harness can stub it."""
+    Module-level so the ablation harness can stub it.
+
+    With ``ind`` (the win1 buffer's (NW, cap) row table — the inverse map's
+    forward image) the op runs under a custom VJP whose backward is a row
+    GATHER at ``ind`` instead of a (V,)-descriptor row scatter (see
+    ops/sampling.py writeback_inverse_paired)."""
+    if ind is not None:
+        return writeback_inverse_paired(
+            upd_fea, shortcut, ind, inv["win_row"], inv["slot"], inv["valid"])
     nw_b, n1b, c = upd_fea.shape
     pos = jnp.clip(inv["win_row"] * n1b + inv["slot"], 0, nw_b * n1b - 1)
     # mode="clip" (pos is pre-clipped): avoids jnp.take's fill-mode select
@@ -95,12 +106,28 @@ class MsSVTBlock(nn.Module):
     dropout: float = 0.0
     drop_path: float = 0.0
     dtype: Any = jnp.float32
+    # Reference pad-key semantics (see the FPS key selection below): FPS
+    # picks of EMPTY buffer slots become real keys carrying the batch's
+    # first voxel (the ref's ``(float + 0.1).int()`` maps -1 to 0, so its
+    # own k_ind<0 mask is dead code — ref: mssvt_backbone.py:252-258).
+    # Default ON for checkpoint parity; False masks those keys instead
+    # (strictly cleaner when training from scratch).
+    ref_compat_keys: bool = True
+    # optional checkpoint-side query-table order (nested tuples, see
+    # ops/window.py build_query_tables ``parts``): the reference's
+    # within-shell cell order comes from an unstable torch.sort and is baked
+    # into trained checkpoints — pass it here when importing one
+    table_parts: Any = None
 
     def setup(self):
         assert len(self.window_size) == 2, "MsSVTBlock needs two window scales"
         self.win1 = tuple(int(s) for s in self.window_size[0])
         self.win2 = tuple(int(s) for s in self.window_size[1])
-        self.tables = build_query_tables(self.win1, self.win2, self.cbs_mode)
+        parts = (None if self.table_parts is None else
+                 {k: np.asarray(v, np.int32)
+                  for k, v in dict(self.table_parts).items()})
+        self.tables = build_query_tables(self.win1, self.win2, self.cbs_mode,
+                                         parts=parts)
         # default capacities = full window volume (ref :65-68)
         self.cap1 = int(np.prod(self.win1)) if self.max_num_win1 is None else self.max_num_win1
         self.cap2 = int(np.prod(self.win2)) if self.max_num_win2 is None else self.max_num_win2
@@ -167,12 +194,37 @@ class MsSVTBlock(nn.Module):
         # mask repeated selections of slot 0 (ref :248-252)
         fps_mask = (fps == 0).at[:, 0].set(False)
         k_ind = sind.astype(jnp.int32)  # exact: rows < 2**24
-        k_mask = fps_mask | (k_ind < 0)
         nw = win1b["ind"].shape[0]
+        if self.ref_compat_keys:
+            # Reference pad-key semantics: the ref converts the FPS-gathered
+            # buffer values with ``(float + 0.1).int()``, which maps empty
+            # slots' -1 to batch-local row **0** — NOT back to -1 — so its
+            # ``k_ind < 0`` mask never fires and FPS picks of empty (0,0,0)
+            # buffer slots become REAL keys carrying the batch's first
+            # voxel's feature and coordinates (ref: mssvt_backbone.py:
+            # 252-258). Checkpoints are trained with those keys; replicate:
+            # key mask = FPS slot-0 repeats only, pad picks re-routed to the
+            # batch's first global row.
+            pad_key = k_ind < 0  # (2NW, ks) FPS picked an empty slot
+            b_w = jnp.clip(win_coords[:, 0], 0, sp.batch_size - 1)  # (NW,)
+            # first global row of each batch (coords are batch-major; -1
+            # padded rows never match)
+            bstart = jnp.stack([
+                jnp.argmax(sp.coords[:, 0] == b).astype(jnp.int32)
+                for b in range(sp.batch_size)])  # (B,)
+            row0 = bstart[b_w]  # (NW,)
+            row02 = jnp.concatenate([row0, row0])[:, None]  # (2NW, 1)
+            k_ind = jnp.where(pad_key, row02, k_ind)
+            k_mask = fps_mask
+            pad1, pad2 = pad_key[:nw], pad_key[nw:]
+        else:
+            k_mask = fps_mask | (k_ind < 0)
+            pad1 = pad2 = row0 = None
         k_ind1, k_ind2 = k_ind[:nw], k_ind[nw:]
         k_mask1, k_mask2 = k_mask[:nw], k_mask[nw:]
-        # fps1 may point at the pad slots (masked via k_ind<0); clip so the
-        # local gathers from the UNPADDED win1 buffers stay in bounds
+        # fps1 may point at the pad slots (masked via k_ind<0, or re-routed
+        # to the pad row under ref_compat); clip so the local gathers from
+        # the UNPADDED win1 buffers stay in bounds
         fps1 = jnp.minimum(fps[:nw], n1 - 1)
 
         # --- feature gathers (ref :260-268). The (NW, cap, C) win1-region
@@ -189,11 +241,31 @@ class MsSVTBlock(nn.Module):
         nq = q["ind"].shape[1]
         n1_cap = win1b["ind"].shape[1]
         q_prefix_ok = q_name in ("odd", "win1") and nq <= n1_cap
-        win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
+        if inv is not None:
+            # paired form: identical forward gather, but the VJP is one
+            # (V, C) row gather via the inverse map instead of an
+            # NW*cap-descriptor scatter-add (ops/sampling.py)
+            win1_fea = group_features_paired(
+                x, win1b["ind"], inv["win_row"], inv["slot"], inv["valid"])
+        else:
+            win1_fea = group_features(x, win1b["ind"])  # (NW, n1, C)
         # assembled path: the local FPS take_along, q prefix/masking,
         # k1/k2 concat and pos-MLP add all happen inside the attention
         # module (in VMEM on the TPU fast path — see MixedScaleAttention)
-        q_ext = None if q_prefix_ok else group_features(x, q["ind"])
+        if q_prefix_ok:
+            q_ext = None
+        elif (q_name == "even" and "start" in q
+              and self.tables.num_odd + self.tables.num_even <= n1_cap):
+            # even cells are the win1-buffer run [odd_cnt, odd_cnt + nq):
+            # a local one-hot take from win1_fea (exact: one nonzero per
+            # row) whose VJP is a matmul — no global gather, no scatter
+            pos_q = jnp.minimum(
+                q["start"][:, None] + jnp.arange(nq, dtype=jnp.int32),
+                n1_cap - 1)
+            q_ext = gather_along_batch(win1_fea, pos_q) \
+                * (~q["mask"])[..., None].astype(win1_fea.dtype)
+        else:
+            q_ext = group_features(x, q["ind"])
         k_fea2 = group_features(x, k_ind2)
 
         # metric center of a buffer slot = window-center voxel + offset,
@@ -227,6 +299,17 @@ class MsSVTBlock(nn.Module):
         win1_m = slot_metric_planes(win1b["coordp"], win1b["mask"])
         k_m1 = slot_metric_sel(sx[:nw], sy[:nw], sz[:nw], k_mask1)
         k_m2 = slot_metric_sel(sx[nw:], sy[nw:], sz[nw:], k_mask2)
+        if self.ref_compat_keys:
+            # pad-key coordinates = the batch's first voxel's metric center
+            # (the ref gathers voxel_coord at the re-routed index, :265-268)
+            c0 = jnp.take(sp.coords, bstart, axis=0)  # (B, 4)
+            m0 = ((c0[:, 3].astype(jnp.float32) + 0.5) * vsx + minx,
+                  (c0[:, 2].astype(jnp.float32) + 0.5) * vsy + miny,
+                  (c0[:, 1].astype(jnp.float32) + 0.5) * vsz + minz)
+            k_m1 = tuple(jnp.where(pad1, m[b_w][:, None], km)
+                         for m, km in zip(m0, k_m1))
+            k_m2 = tuple(jnp.where(pad2, m[b_w][:, None], km)
+                         for m, km in zip(m0, k_m2))
         # window metric center planes (≡ _window_metric_centers)
         wcx = (win_coords[:, 3].astype(jnp.float32) + 0.5) * (vsx * wx) + minx
         wcy = (win_coords[:, 2].astype(jnp.float32) + 0.5) * (vsy * wy) + miny
@@ -260,6 +343,16 @@ class MsSVTBlock(nn.Module):
             pos_base=self.pos_proj.base_from_centers(wcx, wcy, wcz),
             pos_w=self.pos_proj.rel_kernel(), nq=nq,
         ))
+        if self.ref_compat_keys:
+            # win1 pad picks carry the batch's first voxel's FEATURE row
+            # (k2 pad picks already do — their global index was re-routed
+            # before the k2 gather). The attention assembly adds
+            # pad1 ⊗ pad_row to the k1 take; gradients to the first voxel
+            # flow through pad_row's own (NW,)-row gather, keeping the
+            # paired win1 VJP exact (empty-slot cotangents stay zero).
+            attn_in["assembled"]["pad1"] = pad1
+            attn_in["assembled"]["pad_row"] = jnp.take(
+                x, row0, axis=0, mode="clip")  # (NW, C)
 
         # --- mixed-scale attention (ref :289-295) + 3-NN inverse-distance
         # propagation to all win1 voxels (ref :297-310). Parity note: like
@@ -297,7 +390,8 @@ class MsSVTBlock(nn.Module):
         # descriptors, ~4x fewer at Waymo scale). Fallback: unique-index
         # scatter (each voxel appears at most once across the buffers).
         if inv is not None:
-            updated = _writeback_inverse(upd_fea, inv, shortcut)
+            updated = _writeback_inverse(upd_fea, inv, shortcut,
+                                         ind=win1b["ind"])
         else:
             v = sp.max_voxels
             flat_ind = upd_ind.reshape(-1)
@@ -353,11 +447,15 @@ class MsSVTCompressBlock(nn.Module):
     max_num_win1: Optional[int] = None
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    table_parts: Any = None  # see MsSVTBlock.table_parts
 
     def setup(self):
         assert len(self.window_size) == 1, "CompressBlock is single-scale"
         self.win1 = tuple(int(s) for s in self.window_size[0])
-        self.tables = build_query_tables(self.win1)
+        parts = (None if self.table_parts is None else
+                 {k: np.asarray(v, np.int32)
+                  for k, v in dict(self.table_parts).items()})
+        self.tables = build_query_tables(self.win1, parts=parts)
         self.cap1 = int(np.prod(self.win1)) if self.max_num_win1 is None else self.max_num_win1
 
         self.norm1 = nn.LayerNorm(dtype=self.dtype)
@@ -380,13 +478,21 @@ class MsSVTCompressBlock(nn.Module):
             sp.coords, sp.valid, sp.spatial_shape, self.win1,
             self.max_windows * sp.batch_size, batch_size=sp.batch_size,
         )
+        # training: also emit the voxel→(window, slot) inverse so the key
+        # gather's VJP is a row gather, not an NW*cap scatter-add (the
+        # inverse slabs cost extra fill-kernel outputs — skipped at eval)
         g = gather_window_voxels(
             win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
             self.win1, self.tables, max_num_win1=self.cap1,
-            batch_size=sp.batch_size,
+            batch_size=sp.batch_size, return_inverse=not deterministic,
         )
         k = g["win1"]
-        k_fea = group_features(x, k["ind"])  # (NW, ns, C)
+        inv = g.get("inv_win1")
+        if inv is not None:
+            k_fea = group_features_paired(
+                x, k["ind"], inv["win_row"], inv["slot"], inv["valid"])
+        else:
+            k_fea = group_features(x, k["ind"])  # (NW, ns, C)
 
         # key metric coordinates on per-component planes from the packed
         # gather offsets (== gathering sp.metric_centers() rows: empty slots
@@ -496,6 +602,7 @@ class MixedScaleSparseTransformer(nn.Module):
                     cbs_pattern=int(p.get("cbs_pattern", 1)),
                     key_num_sample=int(p.get("key_num_sample", 32)),
                     use_feature_interpolation=bool(p.get("use_feature_interpolation", True)),
+                    ref_compat_keys=bool(p.get("ref_compat_keys", True)),
                     drop_path=float(dpr[i]) if i < len(dpr) else 0.0,
                 ))
             elif p["name"] == "MixedScaleSparseTransformerCompressBlock":

@@ -136,13 +136,20 @@ class MixedScaleAttention(nn.Module):
                 q_ext = (a["q_ext"] if not q_prefix
                          else jnp.zeros((a["win1_fea"].shape[0], 1,
                                          self.embed_dim), self.dtype))
+                # ref-compat pad keys: the take zeroes at pad1 (not at the
+                # FPS-repeat mask) and the per-window pad_row is added back
+                pad1 = a.get("pad1")
+                pad_row = a.get("pad_row")
+                zero_mask = a["k_mask1"] if pad1 is None else pad1
                 out = fused_window_attention_assembled(
-                    a["win1_fea"], a["k2_fea"], a["fps1"], a["k_mask1"],
+                    a["win1_fea"], a["k2_fea"], a["fps1"], zero_mask,
                     q_ext, a["q_keep"], tuple(a["k_rel"]),
                     tuple(a["q_rel"]), a["pos_base"], a["pos_w"],
                     proj, bias, num_heads=tuple(self.num_heads),
                     scale=(self.embed_dim // sum(self.num_heads)) ** -0.5,
                     q_prefix=q_prefix, nq=nq_a,
+                    pad_row=(None if pad_row is None
+                             else pad_row.astype(self.dtype)),
                     interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
                     compute_dtype=self.dtype,
                 )
@@ -162,8 +169,18 @@ class MixedScaleAttention(nn.Module):
                                + rz[..., None].astype(self.dtype) * pw[2]
                                + base[:, None, :])
 
-            k1 = gather_along_batch(win1, a["fps1"]) \
-                * (~a["k_mask1"])[..., None]
+            if a.get("pad1") is not None:
+                # ref-compat: zero the take at pad picks only (FPS-repeat
+                # masked keys keep their real features, like the reference —
+                # the -100 bias silences them) and add the per-window
+                # first-voxel row at pad picks
+                k1 = (gather_along_batch(win1, a["fps1"])
+                      * (~a["pad1"])[..., None]
+                      + a["pad1"][..., None].astype(win1.dtype)
+                      * a["pad_row"][:, None, :].astype(win1.dtype))
+            else:
+                k1 = gather_along_batch(win1, a["fps1"]) \
+                    * (~a["k_mask1"])[..., None]
             keys = (jnp.concatenate([k1, a["k2_fea"]], axis=1)
                     + pos(a["k_rel"]))
             if a.get("q_ext") is None:

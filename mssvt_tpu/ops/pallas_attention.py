@@ -638,9 +638,13 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
 def _attn_assembled_kernel(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
                            qmask_ref, krx_ref, kry_ref, krz_ref,
                            qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
-                           bias_ref, w_ref, b_ref, o_ref,
-                           *, num_heads, wb, nq, n1cap, nk1, nk_tot, scale,
-                           q_prefix, out_dtype, compute_dtype):
+                           bias_ref, w_ref, b_ref, *rest,
+                           num_heads, wb, nq, n1cap, nk1, nk_tot, scale,
+                           q_prefix, has_pad_row, out_dtype, compute_dtype):
+    if has_pad_row:
+        padrow_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     bf = compute_dtype
     d = w_ref.shape[-1]
     win1 = win1_ref[:].reshape(wb, n1cap, d)          # (wb, n1cap, D) bf16
@@ -648,15 +652,23 @@ def _attn_assembled_kernel(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
 
     # k1: local FPS picks from the win1 slab as a batched one-hot MXU dot
     # (masked picks produce a zero row, matching the outside
-    # ``gather_along_batch(win1_fea, fps1) * ~k_mask1``)
+    # ``gather_along_batch(win1_fea, fps1) * ~k_mask1``). With ref-compat
+    # pad keys (has_pad_row), km1 carries the pad-pick mask and those rows
+    # get the per-window first-voxel feature instead of zero.
     fps = fps_ref[:]                                   # (wb, nk1) int32
     slot = jax.lax.broadcasted_iota(jnp.int32, (wb, nk1, n1cap), 2)
     # minor-dim insertions must stay 32-bit for Mosaic: compare in int32
+    km1 = km1_ref[:]
     oh = ((fps[:, :, None] == slot)
-          & (km1_ref[:][:, :, None] == 0)).astype(bf)
+          & (km1[:, :, None] == 0)).astype(bf)
     k1 = jax.lax.dot_general(
         oh, win1, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(bf)  # (wb, nk1, D)
+    if has_pad_row:
+        # minor-dim insert on the int32 mask (Mosaic: bf16 minor inserts
+        # are unsupported), cast after
+        padm = (km1[:, :, None] != 0).astype(bf)
+        k1 = k1 + padm * padrow_ref[:].astype(bf)[:, None, :]
 
     # position embedding: relu(rx*w0 + ry*w1 + rz*w2 + base) — the exact
     # PosProjection.from_planes computation (layers.py:129-154) with the
@@ -725,6 +737,8 @@ def fused_window_attention_assembled(
     scale: float,
     q_prefix: bool,
     nq: int = 0,             # rows of the q output when q_prefix
+    pad_row: jnp.ndarray = None,  # (NW, D): ref-compat pad-key feature row;
+                             # k_mask1 then carries the PAD-pick mask
     window_block: int = 32,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
@@ -770,40 +784,47 @@ def fused_window_attention_assembled(
     posw = jnp.pad(pos_w.astype(bf), ((0, 5), (0, 0)))  # (8, D) sublane tile
 
     nqx = qxp.shape[1]
+    has_pad_row = pad_row is not None
     kernel = functools.partial(
         _attn_assembled_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
         n1cap=n1cap, nk1=nk1, nk_tot=nk_tot, scale=float(scale),
-        q_prefix=bool(q_prefix), out_dtype=win1_fea.dtype,
-        compute_dtype=bf)
+        q_prefix=bool(q_prefix), has_pad_row=has_pad_row,
+        out_dtype=win1_fea.dtype, compute_dtype=bf)
     row = lambda r: pl.BlockSpec((wb * r, d), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     pln = lambda c: pl.BlockSpec((wb, c), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
+    in_specs = [
+        row(n1cap), row(nk2),
+        pln(nk1), pln(nk1),
+        row(nqx), pln(nq),
+        pln(nk_tot), pln(nk_tot), pln(nk_tot),
+        pln(nq), pln(nq), pln(nq),
+        pl.BlockSpec((wb, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, d), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pln(nk_tot),
+        pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, d), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [win1p.reshape(nwp * n1cap, d), k2p.reshape(nwp * nk2, d),
+            fpsp, km1p, qxp.reshape(nwp * nqx, d), qkp,
+            krel[0], krel[1], krel[2], qrel[0], qrel[1], qrel[2],
+            basep, posw, biasp, wmats, bvec]
+    if has_pad_row:
+        in_specs.append(pl.BlockSpec((wb, d), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(prow(pad_row.astype(bf)))
     out = pl.pallas_call(
         kernel,
         grid=(nwp // wb,),
-        in_specs=[
-            row(n1cap), row(nk2),
-            pln(nk1), pln(nk1),
-            row(nqx), pln(nq),
-            pln(nk_tot), pln(nk_tot), pln(nk_tot),
-            pln(nq), pln(nq), pln(nq),
-            pl.BlockSpec((wb, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pln(nk_tot),
-            pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nwp * nq, d), win1_fea.dtype),
         interpret=interpret,
-    )(win1p.reshape(nwp * n1cap, d), k2p.reshape(nwp * nk2, d),
-      fpsp, km1p, qxp.reshape(nwp * nqx, d), qkp,
-      krel[0], krel[1], krel[2], qrel[0], qrel[1], qrel[2],
-      basep, posw, biasp, wmats, bvec)
+    )(*args)
     return out.reshape(nwp, nq, d)[:nw]

@@ -145,11 +145,23 @@ def _chebyshev_sorted_offsets(size) -> np.ndarray:
     return offsets[order].astype(np.int32)
 
 
-def build_query_tables(win1_size, win2_size=None, cbs_mode: str = "odd_even") -> QueryTables:
-    """Build the gather tables for one block (ref: mssvt_backbone.py:73-122)."""
+def build_query_tables(win1_size, win2_size=None, cbs_mode: str = "odd_even",
+                       parts=None) -> QueryTables:
+    """Build the gather tables for one block (ref: mssvt_backbone.py:73-122).
+
+    ``parts`` optionally supplies the four per-category offset arrays
+    ({"odd", "even", "win1", "win2"}: (K_i, 3) int, already ordered) in place
+    of the built-in tables. Within equal-Chebyshev-distance shells the
+    reference's cell order comes from an UNSTABLE torch.sort — it is an input
+    baked into a trained checkpoint, not a derivable behavior. Importing a
+    reference checkpoint therefore passes the checkpoint-side tables here so
+    buffer fill order (and hence FPS key selection) matches that checkpoint
+    exactly; our built-in order (stable argsort) is used otherwise.
+    """
     win1_size = tuple(int(s) for s in win1_size)
     if win2_size is None:
-        offsets = _chebyshev_sorted_offsets(win1_size)
+        offsets = (_chebyshev_sorted_offsets(win1_size) if parts is None
+                   else np.asarray(parts["win1"], np.int32))
         elig = np.zeros((offsets.shape[0], 4), bool)
         elig[:, WIN1] = True
         return _with_lut(offsets, elig, 0, 0, True, win1_size)
@@ -158,25 +170,30 @@ def build_query_tables(win1_size, win2_size=None, cbs_mode: str = "odd_even") ->
     if any((win2_size[i] - win1_size[i]) % 2 for i in range(3)):
         raise ValueError(f"win2-win1 must be even per dim, got {win1_size}, {win2_size}")
 
-    offsets = _chebyshev_sorted_offsets(win2_size)
-    bound_lo = np.array([-(win1_size[i] // 2) for i in range(3)])
-    bound_hi = np.array([win1_size[i] // 2 + (1 - win1_size[i] % 2) for i in range(3)])
-    in_win1 = np.all((offsets >= bound_lo) & (offsets <= bound_hi), axis=-1)
-
     if cbs_mode != "odd_even":
         raise NotImplementedError(cbs_mode)
-    # Python/torch semantics: (-1) % 2 == 1, so parity is well-defined on
-    # negative offsets (ref: mssvt_backbone.py:102-103).
-    odd = in_win1 & (offsets[:, 0] % 2 == 1) & (offsets[:, 1] % 2 == 1)
-    even = in_win1 & (offsets[:, 0] % 2 == 0) & (offsets[:, 1] % 2 == 0)
-    rest1 = in_win1 & ~(odd | even)
-    out2 = ~in_win1
+    if parts is None:
+        offsets = _chebyshev_sorted_offsets(win2_size)
+        bound_lo = np.array([-(win1_size[i] // 2) for i in range(3)])
+        bound_hi = np.array([win1_size[i] // 2 + (1 - win1_size[i] % 2)
+                             for i in range(3)])
+        in_win1 = np.all((offsets >= bound_lo) & (offsets <= bound_hi), axis=-1)
+        # Python/torch semantics: (-1) % 2 == 1, so parity is well-defined on
+        # negative offsets (ref: mssvt_backbone.py:102-103).
+        odd = in_win1 & (offsets[:, 0] % 2 == 1) & (offsets[:, 1] % 2 == 1)
+        even = in_win1 & (offsets[:, 0] % 2 == 0) & (offsets[:, 1] % 2 == 0)
+        rest1 = in_win1 & ~(odd | even)
+        out2 = ~in_win1
+        part_list = [offsets[odd], offsets[even], offsets[rest1],
+                     offsets[out2]]
+    else:
+        part_list = [np.asarray(parts[k], np.int32)
+                     for k in ("odd", "even", "win1", "win2")]
 
     # Concatenate in reference traversal order; keep Chebyshev order within
     # each table (each sub-selection of a sorted list stays sorted).
-    parts = [offsets[odd], offsets[even], offsets[rest1], offsets[out2]]
-    sizes = [p.shape[0] for p in parts]
-    cat = np.concatenate(parts, axis=0)
+    sizes = [p.shape[0] for p in part_list]
+    cat = np.concatenate(part_list, axis=0)
 
     elig = np.zeros((cat.shape[0], 4), bool)
     o_end = sizes[0]

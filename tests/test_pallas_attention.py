@@ -275,10 +275,14 @@ def test_fused_kernel_grad_parity_bwd_variants(variant, wb, monkeypatch):
                                    atol=5e-3, rtol=2e-3, err_msg=name)
 
 
-@pytest.mark.parametrize("q_prefix", [True, False])
-def test_module_assembled_kernel_matches_fallback(monkeypatch, q_prefix):
+@pytest.mark.parametrize("q_prefix,pad_keys", [(True, False), (False, False),
+                                               (True, True), (False, True)])
+def test_module_assembled_kernel_matches_fallback(monkeypatch, q_prefix,
+                                                  pad_keys):
     """The assembled-inputs kernel (in-VMEM K/Q assembly) must match the
-    module's XLA fallback assembly + einsum path on identical params."""
+    module's XLA fallback assembly + einsum path on identical params.
+    ``pad_keys``: ref-compat FPS pad keys (pad1 picks re-routed to the
+    per-window pad_row feature instead of zeroed)."""
     rng = np.random.default_rng(11)
     nw, n1cap, nk1, nk2, nq, d = 10, 24, 8, 8, 12, 64
     num_heads = (2, 2)
@@ -306,6 +310,10 @@ def test_module_assembled_kernel_matches_fallback(monkeypatch, q_prefix):
         pos_w=jnp.asarray(rng.normal(size=(3, d)).astype(np.float32)),
         nq=nq,
     )
+    if pad_keys:
+        asm["pad1"] = jnp.asarray(rng.random((nw, nk1)) < 0.3)
+        asm["pad_row"] = jnp.asarray(
+            rng.normal(size=(nw, d)).astype(np.float32))
     m = MixedScaleAttention(embed_dim=d, num_heads=num_heads)
     params = m.init(jax.random.PRNGKey(0), query_mask=qm, key_masks=km,
                     assembled=asm)
