@@ -15,11 +15,19 @@ iteration (on the axon platform block_until_ready can return early), and an
 output-variance assert against caching. fps = batch / time_per_step.
 Run with --batch1 for the single-frame latency variant.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and the north
-star is >=2x A100 fps. A100 end-to-end fps for MsSVT-class detectors is
-~8-15 fps (sec_per_example ~0.07-0.12s); we use 10 fps as the provisional
-reference point until the PyTorch reference is measured, so
-vs_baseline = fps / 10.0.
+vs_baseline: the reference publishes no numbers (BASELINE.md), so instead of
+a guessed anchor the bench DERIVES an A100 SPEED-OF-LIGHT bound from the
+measured per-frame cost of this very graph (XLA cost analysis):
+
+    a100_sol_fps = min(2039 GB/s / bytes_per_frame, 312 TFLOP/s / flops_per_frame)
+
+(A100-80GB-SXM peaks; our graph's bytes are a LOWER bound on what the
+fp32 eager PyTorch reference moves — fp32 doubles the activation bytes and
+eager kernels materialize intermediates XLA fuses away — so a100_sol_fps
+OVERSTATES any real A100 run and vs_baseline = fps / a100_sol_fps is a
+certified LOWER bound on the true ratio.) Full derivation: BASELINE.md.
+When cost analysis is unavailable on the tunnel, falls back to the
+2026-08-19 measured constants recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -34,7 +42,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-PROVISIONAL_A100_FPS = 10.0
+A100_PEAK_BW = 2039e9      # A100-80GB-SXM HBM2e bytes/s
+A100_PEAK_FLOPS = 312e12   # A100 dense bf16/fp16 FLOP/s
+# fallback per-frame graph cost (XLA cost analysis, bench.py 2026-08-19,
+# batch 4, 90k voxels/frame — see BASELINE.md "derived A100 bound")
+FALLBACK_FLOPS_PER_FRAME = 174.5e9
+FALLBACK_BYTES_PER_FRAME = 25.8e9
+
+
+def a100_speed_of_light_fps(fl_frame=None, by_frame=None):
+    fl = fl_frame or FALLBACK_FLOPS_PER_FRAME
+    by = by_frame or FALLBACK_BYTES_PER_FRAME
+    return min(A100_PEAK_BW / by, A100_PEAK_FLOPS / fl)
 
 
 def make_waymo_scale_scene(max_voxels, grid, seed=0, batch=1):
@@ -92,6 +111,59 @@ def add_synth_gt(batch, batch_size, seed=0, max_gt=64):
     return batch
 
 
+def init_variables_small(cfg, big_model, batch_size, train, seed=0):
+    """Initialize parameters by tracing a MINIATURE model instance.
+
+    Every parameter shape in the stack depends only on channel widths
+    (convs, denses, norms) — never on BEV extent or voxel capacity — so init
+    compiles a 48x48-BEV / 2k-voxel instance instead of the 90k-voxel Waymo
+    graph, removing one full-scale server-side compile from the cold path
+    (the r3 driver measured 621 s compile+first-run on a cold cache; the
+    init program was a third of it). Structure is verified against
+    ``jax.eval_shape`` of the BIG model's init (trace-only, no compile);
+    on any mismatch falls back to the big init.
+    """
+    import jax
+
+    from mssvt_tpu.models import build_network
+
+    # keep z (the compress chain fixes the BEV depth); 96x96 BEV keeps the
+    # post-stride heatmap >= the head's top-K (48x48 left 144 < K=500)
+    grid_s = (96, 96, 32)
+    mv = 2_000 * batch_size
+    small = build_network(
+        model_cfg=cfg.MODEL, num_class=3,
+        class_names=["Vehicle", "Pedestrian", "Cyclist"],
+        grid_size=grid_s, voxel_size=(0.32, 0.32, 0.1875),
+        point_cloud_range=(-15.36, -15.36, -2.0, 15.36, 15.36, 4.0),
+        batch_size=batch_size, max_voxels=mv, max_points_per_voxel=5,
+    )
+    b_small, _ = make_waymo_scale_scene(mv, grid_s, seed=seed,
+                                        batch=batch_size)
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1)}
+    if train:
+        b_small = add_synth_gt(b_small, batch_size, seed=seed)
+    variables = jax.jit(
+        lambda k0, k1, b: small.init({"params": k0, "dropout": k1}, b,
+                                     train=train)
+    )(rngs["params"], rngs["dropout"], b_small)
+    return variables
+
+
+def check_variables_shape(variables, big_model, big_batch, train):
+    """Trace-only structural check: small-instance init == big init shapes."""
+    import jax
+
+    want = jax.eval_shape(
+        lambda k0, k1, b: big_model.init({"params": k0, "dropout": k1}, b,
+                                         train=train),
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), big_batch)
+    got = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), variables)
+    want = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), want)
+    return got == want
+
+
 def run_train(cfg, model, scenes, batch_size):
     """Full optimizer step (fwd + bwd + adam_onecycle update) at Waymo scale.
 
@@ -110,9 +182,14 @@ def run_train(cfg, model, scenes, batch_size):
     one_dev = jax.tree_util.tree_map(lambda x: x[0], sharded[0])
 
     t0 = time.time()
-    variables = jax.jit(
-        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=True)
-    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), one_dev)
+    variables = init_variables_small(cfg, model, batch_size, train=True)
+    if not check_variables_shape(variables, model, one_dev, train=True):
+        print("# small-instance init mismatch — falling back to big init",
+              file=sys.stderr)
+        variables = jax.jit(
+            lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b,
+                                         train=True)
+        )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), one_dev)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     print(f"# train init: {time.time() - t0:.1f}s", file=sys.stderr)
@@ -169,7 +246,9 @@ def run_train(cfg, model, scenes, batch_size):
         "metric": "train_step_ms_single_chip_batch%d" % batch_size,
         "value": round(dt * 1000, 1),
         "unit": "ms/step",
-        "vs_baseline": round((batch_size / dt) / PROVISIONAL_A100_FPS, 3),
+        # train fps over the derived A100 inference speed-of-light bound —
+        # a floor, not a claim (BASELINE.md)
+        "vs_baseline": round((batch_size / dt) / a100_speed_of_light_fps(), 3),
     }))
 
 
@@ -235,9 +314,14 @@ def main():
     print(f"# scene: {n_vox} voxels total, batch {batch_size}, grid {grid}",
           file=sys.stderr)
     t0 = time.time()
-    variables = jax.jit(
-        lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b, train=False)
-    )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
+    variables = init_variables_small(cfg, model, batch_size, train=False)
+    if not check_variables_shape(variables, model, batch, train=False):
+        print("# small-instance init mismatch — falling back to big init",
+              file=sys.stderr)
+        variables = jax.jit(
+            lambda k0, k1, b: model.init({"params": k0, "dropout": k1}, b,
+                                         train=False)
+        )(jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch)
     print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     def infer(variables, batch):
@@ -371,11 +455,22 @@ def main():
               f"hbm: {hbm_util * 100:.1f}% of 819 GB/s at "
               f"{dt * 1000:.2f} ms/frame", file=sys.stderr)
 
+    sol = a100_speed_of_light_fps(
+        cost["flops"] / batch_size if cost and cost["flops"] > 0 else None,
+        cost["bytes"] / batch_size if cost and cost["bytes"] > 0 else None)
+    print(f"# a100 speed-of-light bound: {sol:.1f} fps -> vs_baseline "
+          f"{fps / sol:.3f} is a LOWER bound on the true ratio (BASELINE.md)",
+          file=sys.stderr)
     out = {
         "metric": "e2e_inference_fps_single_chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / PROVISIONAL_A100_FPS, 3),
+        # fps over the DERIVED A100 speed-of-light bound — a certified lower
+        # bound on the true vs-A100 ratio (the old 10-fps literature guess
+        # put 21.5 fps at 2.15x; the real A100 number requires running the
+        # PyTorch reference, unavailable in this environment — BASELINE.md)
+        "vs_baseline": round(fps / sol, 3),
+        "a100_sol_fps_bound": round(sol, 1),
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)

@@ -19,7 +19,11 @@ sys.path.insert(0, str(REPO_ROOT))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mssvt_jax_cache")
+# repo-local persistent cache — ONE cache dir for every entry point
+# (bench.py, __graft_entry__.py, tests, tools/): /tmp variants caused
+# cold-compile misses between them (VERDICT r3 item 4)
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
