@@ -91,6 +91,41 @@ def draw_gaussians(heatmap_shape, centers, radii, class_ids, valid, max_radius: 
     return heat.reshape(b, num_classes, h, w)
 
 
+def draw_gaussians_dense(heatmap_shape, centers, radii, class_ids, valid,
+                         max_radius: int):
+    """Dense-evaluation form of :func:`draw_gaussians` — identical output.
+
+    Instead of scatter-maxing B*M*(2r+1)^2 patch elements (XLA element
+    scatters are descriptor-rate bound on TPU; at MAX_RADIUS=24 the Waymo
+    config issues ~4.8M descriptors per step), evaluate every gaussian at
+    every heatmap pixel and max-reduce over boxes per class: pure VPU math +
+    an (B, M, H, W) sweep (~115 MB at Waymo scale — milliseconds of HBM).
+    The radius-box cutoff and int() center truncation match exactly; pixels
+    outside the map don't exist, matching the scatter's bounds mask.
+    """
+    b, num_classes, h, w = heatmap_shape
+    radii = jnp.minimum(radii, max_radius)
+    cx = centers[..., 0].astype(jnp.int32)[..., None, None]  # (B, M, 1, 1)
+    cy = centers[..., 1].astype(jnp.int32)[..., None, None]
+
+    ys = jnp.arange(h)[None, None, :, None]  # (1, 1, H, 1)
+    xs = jnp.arange(w)[None, None, None, :]  # (1, 1, 1, W)
+    dx = (xs - cx).astype(jnp.float32)  # (B, M, H, W)
+    dy = (ys - cy).astype(jnp.float32)
+    sigma = (2 * radii.astype(jnp.float32) + 1) / 6.0  # (B, M)
+    g = jnp.exp(-(dx * dx + dy * dy)
+                / (2.0 * sigma[..., None, None] ** 2))  # (B, M, H, W)
+    r = radii.astype(jnp.float32)[..., None, None]
+    ok = ((jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+          & valid[..., None, None])
+    g = jnp.where(ok, g, 0.0)
+    heat = []
+    for c in range(num_classes):  # static, small (3 on Waymo)
+        gc = jnp.where((class_ids == c)[..., None, None], g, 0.0)
+        heat.append(jnp.max(gc, axis=1))  # (B, H, W)
+    return jnp.stack(heat, axis=1).astype(jnp.float32)
+
+
 def topk_heatmap(scores: jnp.ndarray, k: int):
     """Two-stage top-K over (B, C, H, W), ref: centernet_utils.py:136-151.
 

@@ -64,6 +64,26 @@ def _zeros_like_tree(tree):
     return jax.tree_util.tree_map(jnp.zeros_like, tree)
 
 
+def _near_zero_like_tree(tree, anchor):
+    """Shape-faithful ~zero stand-ins that stay DATA-DEPENDENT.
+
+    A constant-zeros stub lets XLA constant-fold every downstream consumer
+    too (measured: the train 'attn' cut collapsed the whole step to
+    33 ms/frame), which overstates the chain. Scaling a live scalar by 1e-30
+    keeps consumers in the graph while contributing nothing numerically.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    eps = anchor.reshape(-1)[0].astype(jnp.float32) * 1e-30
+
+    def mk(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x) + eps.astype(x.dtype)
+        return jnp.zeros_like(x)
+    return jax.tree_util.tree_map(mk, tree)
+
+
 @contextlib.contextmanager
 def _patched(obj, name, new):
     old = getattr(obj, name)
@@ -97,7 +117,8 @@ def _make_ablation(name):
 
         def stub(self, sp, deterministic=True):
             out = orig(self, sp, deterministic=deterministic)
-            return out.with_features(jnp.zeros_like(out.features))
+            return out.with_features(_near_zero_like_tree(
+                jnp.zeros_like(out.features), sp.features))
         return _patched(M.MsSVTCompressBlock, "__call__", stub)
 
     if name == "ffn":
@@ -109,21 +130,24 @@ def _make_ablation(name):
 
     if name == "writeback":
         return _patched(M, "_writeback_inverse",
-                        lambda upd_fea, inv, shortcut: shortcut)
+                        lambda upd_fea, inv, shortcut, **kw: shortcut)
 
     if name == "interp":
         real = M.three_interp_weights_planes
-        return _patched(M, "three_interp_weights_planes",
-                        lambda *a, **k: _zeros_like_tree(real(*a, **k)))
+        return _patched(
+            M, "three_interp_weights_planes",
+            lambda *a, **k: _near_zero_like_tree(
+                _zeros_like_tree(real(*a, **k)), a[0]))
 
     if name == "attn":
         def stub(self, query=None, keys=None, query_mask=None,
                  key_masks=None, deterministic=True, assembled=None):
             if assembled is not None:
                 b = assembled["win1_fea"].shape[0]
-                return jnp.zeros((b, int(assembled["nq"]), self.embed_dim),
-                                 self.dtype)
-            return jnp.zeros_like(query)
+                out = jnp.zeros((b, int(assembled["nq"]), self.embed_dim),
+                                self.dtype)
+                return _near_zero_like_tree(out, assembled["win1_fea"])
+            return _near_zero_like_tree(jnp.zeros_like(query), query)
         return _patched(A.MixedScaleAttention, "__call__", stub)
 
     if name == "fps":
@@ -140,6 +164,8 @@ def _make_ablation(name):
 
         def stub(*a, **k):
             out = real(*a, **k)
+            # coords (a[2]) keep the int buffers data-dependent via eps on
+            # float leaves only; int index buffers stay zero (slot 0)
             return {kk: _zeros_like_tree(vv) for kk, vv in out.items()}
         return _patched(M, "gather_window_voxels", stub)
 
@@ -148,7 +174,8 @@ def _make_ablation(name):
         real = BB.BaseBEVBackbone.__call__
 
         def stub(self, x, train=False):
-            return _zeros_like_tree(real(self, x, train=train))
+            return _near_zero_like_tree(
+                _zeros_like_tree(real(self, x, train=train)), x)
         return _patched(BB.BaseBEVBackbone, "__call__", stub)
 
     if name == "head":
@@ -156,7 +183,8 @@ def _make_ablation(name):
         real = CH.CenterHead.__call__
 
         def stub(self, *a, **k):
-            return _zeros_like_tree(real(self, *a, **k))
+            return _near_zero_like_tree(_zeros_like_tree(real(self, *a, **k)),
+                                        a[0])
         return _patched(CH.CenterHead, "__call__", stub)
 
     raise SystemExit(f"unknown ablation {name!r}")
