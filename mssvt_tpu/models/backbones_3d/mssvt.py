@@ -150,10 +150,13 @@ class MsSVTBlock(nn.Module):
         shortcut = sp.features  # (V, C)
         x = self.norm1(shortcut)
 
-        win_coords, win_valid, _, _ = window_partition(
+        win_coords, win_valid, _, num_win = window_partition(
             sp.coords, sp.valid, sp.spatial_shape, self.win1,
             self.max_windows * sp.batch_size, batch_size=sp.batch_size,
         )
+        # live-window count for the kernels' data-dependent tail skip (valid
+        # windows are a sorted prefix of the static capacity)
+        nv = jnp.minimum(num_win, self.max_windows * sp.batch_size)
         q_name = {0: "even", 1: "odd", 2: "win1"}[self.cbs_pattern]
         need = ("win1", "win2") if q_name == "win1" else (q_name, "win1", "win2")
         g = gather_window_voxels(
@@ -161,6 +164,7 @@ class MsSVTBlock(nn.Module):
             self.win1, self.tables, max_num_win1=self.cap1,
             max_num_win2=self.cap2, batch_size=sp.batch_size,
             buffers=need, return_inverse=self.use_feature_interpolation,
+            num_valid=nv,
         )
         q = g[q_name]
         win1b, win2b = g["win1"], g["win2"]
@@ -190,7 +194,8 @@ class MsSVTBlock(nn.Module):
         # gathers of coords/indices after the fact
         fps, (sx, sy, sz, sind) = farthest_point_sample_planes_select(
             bx.astype(jnp.float32), by.astype(jnp.float32),
-            bz.astype(jnp.float32), (both_ind,), self.key_num_sample)
+            bz.astype(jnp.float32), (both_ind,), self.key_num_sample,
+            num_valid=nv, nw_half=win1b["ind"].shape[0])
         # mask repeated selections of slot 0 (ref :248-252)
         fps_mask = (fps == 0).at[:, 0].set(False)
         k_ind = sind.astype(jnp.int32)  # exact: rows < 2**24
@@ -342,6 +347,7 @@ class MsSVTBlock(nn.Module):
             q_rel=q_rel, k_rel=k_rel,
             pos_base=self.pos_proj.base_from_centers(wcx, wcy, wcz),
             pos_w=self.pos_proj.rel_kernel(), nq=nq,
+            num_valid=nv,
         ))
         if self.ref_compat_keys:
             # win1 pad picks carry the batch's first voxel's FEATURE row
@@ -474,10 +480,11 @@ class MsSVTCompressBlock(nn.Module):
     def __call__(self, sp: SparseVoxels, deterministic: bool = True) -> SparseVoxels:
         x = self.norm1(sp.features)
 
-        win_coords, win_valid, win_grid, _ = window_partition(
+        win_coords, win_valid, win_grid, num_win = window_partition(
             sp.coords, sp.valid, sp.spatial_shape, self.win1,
             self.max_windows * sp.batch_size, batch_size=sp.batch_size,
         )
+        nv = jnp.minimum(num_win, self.max_windows * sp.batch_size)
         # training: also emit the voxel→(window, slot) inverse so the key
         # gather's VJP is a row gather, not an NW*cap scatter-add (the
         # inverse slabs cost extra fill-kernel outputs — skipped at eval)
@@ -485,6 +492,7 @@ class MsSVTCompressBlock(nn.Module):
             win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
             self.win1, self.tables, max_num_win1=self.cap1,
             batch_size=sp.batch_size, return_inverse=not deterministic,
+            num_valid=nv,
         )
         k = g["win1"]
         inv = g.get("inv_win1")

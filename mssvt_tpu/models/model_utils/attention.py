@@ -150,6 +150,7 @@ class MixedScaleAttention(nn.Module):
                     q_prefix=q_prefix, nq=nq_a,
                     pad_row=(None if pad_row is None
                              else pad_row.astype(self.dtype)),
+                    num_valid=a.get("num_valid"),
                     interpret=os.environ.get("MSSVT_PALLAS") == "interpret",
                     compute_dtype=self.dtype,
                 )

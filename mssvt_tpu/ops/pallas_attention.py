@@ -92,6 +92,60 @@ ATTN_BWD_VARIANT = _os.environ.get("MSSVT_ATTN_BWD_VARIANT", "mask")
 ATTN_BWD_WB = int(_os.environ.get("MSSVT_ATTN_BWD_WB", "8"))
 
 
+def _per_head_attn_qstk(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale,
+                        bf):
+    """Query-stacked fwd core: ONE score dot and ONE value dot at M = H*nq.
+
+    The b3d core runs one (nq, nk_tot) x (nk_tot, D) dot PER HEAD with
+    M = nq rows — at nq=32 each batched MXU instance uses a quarter of the
+    sublanes (in-kernel utilization ~21%, xplane 2026-08-19). Here the H
+    heads' channel-masked queries stack along the ROW axis (VPU masks +
+    sublane concat, no relayout), so scores and values each run as ONE
+    batched dot with M = H*nq = 128 full-height MXU instances — identical
+    MAC count, 4x the sublane occupancy. Per-head validity/softmax become
+    static row-block masks. Inference fwd only (returns no bwd cache).
+    """
+    d = q.shape[1]
+    tot_heads = sum(num_heads)
+    ph = d // tot_heads
+    nk = nk_tot // len(num_heads)
+    key_block = []
+    for g, h in enumerate(num_heads):
+        key_block += [g] * h
+    rows = tot_heads * nq
+    q3 = q.reshape(wb, nq, d)
+    k3 = k.reshape(wb, nk_tot, d)
+    v3 = v.reshape(wb, nk_tot, d)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    # stacked channel-masked queries: rows [t*nq, (t+1)*nq) hold head t
+    q_parts = []
+    for t in range(tot_heads):
+        mh = ((lane >= t * ph) & (lane < (t + 1) * ph)).astype(bf)
+        q_parts.append(q3 * mh)
+    q_stk = jnp.concatenate(q_parts, axis=1)  # (wb, rows, d)
+    s = jax.lax.dot_general(
+        q_stk, k3, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, rows, nk_tot)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (1, rows, nk_tot), 1) // nq
+    kg = jax.lax.broadcasted_iota(jnp.int32, (1, rows, nk_tot), 2) // nk
+    valid = None
+    for t, g in enumerate(key_block):
+        vt = (rr == t) & (kg == g)
+        valid = vt if valid is None else (valid | vt)
+    s = jnp.where(valid, s * scale + bias3, -1e9)
+    e = jnp.exp(s - jnp.max(s, axis=2, keepdims=True))
+    a = e / (jnp.sum(e, axis=2, keepdims=True) + 1e-30)
+    o_stk = jax.lax.dot_general(
+        a.astype(bf), v3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, rows, D)
+    o_sum = None
+    for t in range(tot_heads):
+        mh = (lane >= t * ph) & (lane < (t + 1) * ph)
+        ot = jnp.where(mh, o_stk[:, t * nq:(t + 1) * nq, :], 0.0)
+        o_sum = ot if o_sum is None else o_sum + ot
+    return o_sum.reshape(wb * nq, d), []
+
+
 def _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale, bf):
     """Batched-window fwd core: scores via batch-dim dot_general.
 
@@ -204,10 +258,12 @@ def _attn_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, o_ref,
     v = (jax.lax.dot(kraw, wv, preferred_element_type=jnp.float32)
          + bv).astype(bf)
 
-    if variant == "b3d":
+    if variant in ("b3d", "qstk"):
         bias3 = bias_ref[:][:, None, :].astype(jnp.float32)  # (WB, 1, nk_tot)
-        o, _ = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot,
-                                  float(scale), bf)
+        core = (_per_head_attn_qstk if variant == "qstk"
+                else _per_head_attn_b3d)
+        o, _ = core(q, k, v, bias3, num_heads, wb, nq, nk_tot,
+                    float(scale), bf)
     else:
         bias_row = bias_ref[0, 0:1].astype(jnp.float32)  # (1, WB*nk_tot)
         o, _ = _per_head_attn(q, k, v, bias_row, num_heads, nq, nk_tot,
@@ -307,7 +363,7 @@ def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype,
     bvec = jnp.stack([bq, bk, bv, bp]).astype(bf)   # (4, D)
     bvec = jnp.pad(bvec, ((0, 4), (0, 0)))          # (8, D) sublane tile
 
-    if variant == "b3d":
+    if variant in ("b3d", "qstk"):
         # batched form reads the bias as (wb, nk_tot) sublane-tiled rows
         bias2 = key_bias.astype(jnp.float32).reshape(nwp, nk_tot)
     else:
@@ -325,7 +381,7 @@ def _prep_inputs(query, keys, key_bias, proj, num_heads, wb, compute_dtype,
 
 
 def _common_specs(wb, nq, nk_tot, d, variant):
-    if variant == "b3d":
+    if variant in ("b3d", "qstk"):
         bias_spec = pl.BlockSpec((wb, nk_tot), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     else:
@@ -635,16 +691,60 @@ def _fused_attention_bwd_impl(query, keys, proj, key_bias, g, num_heads,
 # ---------------------------------------------------------------------------
 
 
-def _attn_assembled_kernel(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
-                           qmask_ref, krx_ref, kry_ref, krz_ref,
-                           qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
-                           bias_ref, w_ref, b_ref, *rest,
+def _attn_assembled_kernel(*allrefs,
                            num_heads, wb, nq, n1cap, nk1, nk_tot, scale,
-                           q_prefix, has_pad_row, out_dtype, compute_dtype):
+                           q_prefix, has_pad_row, has_nv, out_dtype,
+                           compute_dtype):
+    if has_nv:
+        nv_ref, *allrefs = allrefs
+    (win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
+     qmask_ref, krx_ref, kry_ref, krz_ref,
+     qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
+     bias_ref, w_ref, b_ref, *rest) = allrefs
     if has_pad_row:
         padrow_ref, o_ref = rest
     else:
         (o_ref,) = rest
+    if has_nv:
+        # data-dependent tail skip: valid windows are a sorted PREFIX of the
+        # static capacity (window_partition compaction), so supertiles past
+        # ceil(num_valid / wb) hold only empty windows — skip their compute
+        # (their input DMAs are already elided by the constant tail index
+        # map, see _assembled_specs) and emit zeros.
+        live = pl.program_id(0) * wb < nv_ref[0]
+
+        @pl.when(live)
+        def _run():
+            _attn_assembled_body(
+                win1_ref, k2_ref, fps_ref, km1_ref, qext_ref, qmask_ref,
+                krx_ref, kry_ref, krz_ref, qrx_ref, qry_ref, qrz_ref,
+                base_ref, posw_ref, bias_ref, w_ref, b_ref,
+                padrow_ref if has_pad_row else None, o_ref,
+                num_heads=num_heads, wb=wb, nq=nq, n1cap=n1cap, nk1=nk1,
+                nk_tot=nk_tot, scale=scale, q_prefix=q_prefix,
+                out_dtype=out_dtype, compute_dtype=compute_dtype)
+
+        @pl.when(jnp.logical_not(live))
+        def _skip():
+            o_ref[:] = jnp.zeros_like(o_ref)
+        return
+    _attn_assembled_body(
+        win1_ref, k2_ref, fps_ref, km1_ref, qext_ref, qmask_ref,
+        krx_ref, kry_ref, krz_ref, qrx_ref, qry_ref, qrz_ref,
+        base_ref, posw_ref, bias_ref, w_ref, b_ref,
+        padrow_ref if has_pad_row else None, o_ref,
+        num_heads=num_heads, wb=wb, nq=nq, n1cap=n1cap, nk1=nk1,
+        nk_tot=nk_tot, scale=scale, q_prefix=q_prefix,
+        out_dtype=out_dtype, compute_dtype=compute_dtype)
+
+
+def _attn_assembled_body(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
+                         qmask_ref, krx_ref, kry_ref, krz_ref,
+                         qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
+                         bias_ref, w_ref, b_ref, padrow_ref, o_ref, *,
+                         num_heads, wb, nq, n1cap, nk1, nk_tot, scale,
+                         q_prefix, out_dtype, compute_dtype):
+    has_pad_row = padrow_ref is not None
     bf = compute_dtype
     d = w_ref.shape[-1]
     win1 = win1_ref[:].reshape(wb, n1cap, d)          # (wb, n1cap, D) bf16
@@ -708,8 +808,10 @@ def _attn_assembled_kernel(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
          + bv).astype(bf)
 
     bias3 = bias_ref[:][:, None, :].astype(jnp.float32)  # (wb, 1, nk_tot)
-    o, _ = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot,
-                              float(scale), bf)
+    core = (_per_head_attn_qstk if ATTN_VARIANT == "qstk"
+            else _per_head_attn_b3d)
+    o, _ = core(q, k, v, bias3, num_heads, wb, nq, nk_tot,
+                float(scale), bf)
     o = jax.lax.dot(o.astype(bf), wp, preferred_element_type=jnp.float32) + bp
     o_ref[:] = o.astype(out_dtype)
 
@@ -739,6 +841,8 @@ def fused_window_attention_assembled(
     nq: int = 0,             # rows of the q output when q_prefix
     pad_row: jnp.ndarray = None,  # (NW, D): ref-compat pad-key feature row;
                              # k_mask1 then carries the PAD-pick mask
+    num_valid: jnp.ndarray = None,  # () int32: count of live (prefix)
+                             # windows; tail supertiles skip compute
     window_block: int = 32,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
@@ -785,46 +889,80 @@ def fused_window_attention_assembled(
 
     nqx = qxp.shape[1]
     has_pad_row = pad_row is not None
+    has_nv = num_valid is not None
     kernel = functools.partial(
         _attn_assembled_kernel, num_heads=tuple(num_heads), wb=wb, nq=nq,
         n1cap=n1cap, nk1=nk1, nk_tot=nk_tot, scale=float(scale),
-        q_prefix=bool(q_prefix), has_pad_row=has_pad_row,
+        q_prefix=bool(q_prefix), has_pad_row=has_pad_row, has_nv=has_nv,
         out_dtype=win1_fea.dtype, compute_dtype=bf)
-    row = lambda r: pl.BlockSpec((wb * r, d), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
-    pln = lambda c: pl.BlockSpec((wb, c), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
+    if has_nv:
+        # tail supertiles (only empty windows) fetch the LAST LIVE block
+        # instead of their own — consecutive identical block indices elide
+        # the DMA, so skipped iterations cost neither compute nor HBM
+        def _blk(i, nv):
+            return jnp.minimum(i, jnp.maximum((nv[0] + wb - 1) // wb - 1, 0))
+        row = lambda r: pl.BlockSpec((wb * r, d),
+                                     lambda i, nv: (_blk(i, nv), 0),
+                                     memory_space=pltpu.VMEM)
+        pln = lambda c: pl.BlockSpec((wb, c),
+                                     lambda i, nv: (_blk(i, nv), 0),
+                                     memory_space=pltpu.VMEM)
+        const2 = lambda a, b_: pl.BlockSpec((a, b_), lambda i, nv: (0, 0),
+                                            memory_space=pltpu.VMEM)
+        const3 = pl.BlockSpec((4, d, d), lambda i, nv: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((wb * nq, d), lambda i, nv: (i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        row = lambda r: pl.BlockSpec((wb * r, d), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+        pln = lambda c: pl.BlockSpec((wb, c), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+        const2 = lambda a, b_: pl.BlockSpec((a, b_), lambda i: (0, 0),
+                                            memory_space=pltpu.VMEM)
+        const3 = pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
     in_specs = [
         row(n1cap), row(nk2),
         pln(nk1), pln(nk1),
         row(nqx), pln(nq),
         pln(nk_tot), pln(nk_tot), pln(nk_tot),
         pln(nq), pln(nq), pln(nq),
-        pl.BlockSpec((wb, d), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, d), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+        row(1),
+        const2(8, d),
         pln(nk_tot),
-        pl.BlockSpec((4, d, d), lambda i: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, d), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
+        const3,
+        const2(8, d),
     ]
     args = [win1p.reshape(nwp * n1cap, d), k2p.reshape(nwp * nk2, d),
             fpsp, km1p, qxp.reshape(nwp * nqx, d), qkp,
             krel[0], krel[1], krel[2], qrel[0], qrel[1], qrel[2],
             basep, posw, biasp, wmats, bvec]
     if has_pad_row:
-        in_specs.append(pl.BlockSpec((wb, d), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(row(1))
         args.append(prow(pad_row.astype(bf)))
-    out = pl.pallas_call(
-        kernel,
-        grid=(nwp // wb,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((wb * nq, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwp * nq, d), win1_fea.dtype),
-        interpret=interpret,
-    )(*args)
+    out_shape = jax.ShapeDtypeStruct((nwp * nq, d), win1_fea.dtype)
+    if has_nv:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nwp // wb,),
+                in_specs=in_specs,
+                out_specs=out_spec,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray(num_valid, jnp.int32).reshape(1), *args)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(nwp // wb,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
     return out.reshape(nwp, nq, d)[:nw]

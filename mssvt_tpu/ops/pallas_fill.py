@@ -34,7 +34,36 @@ from jax.experimental.pallas import tpu as pltpu
 PACK5_ZERO = (16 << 10) | (16 << 5) | 16
 
 
-def _fill_kernel(*refs, cap, own_slab=None, algo="logshift", perm=False):
+def _fill_kernel(*refs, cap, own_slab=None, algo="logshift", perm=False,
+                 has_nv=False, row_block=0):
+    if has_nv:
+        # data-dependent tail skip: window rows are a sorted live PREFIX of
+        # the static capacity; blocks past ceil(nv / row_block) emit the
+        # empty-fill constants without running the rank dot / fill loop
+        nv_ref, *refs = refs
+        n_out = 4 if own_slab is not None else 2
+        live = pl.program_id(0) * row_block < nv_ref[0]
+
+        @pl.when(live)
+        def _run():
+            _fill_kernel_body(refs, cap=cap, own_slab=own_slab, algo=algo,
+                              perm=perm)
+
+        @pl.when(jnp.logical_not(live))
+        def _skip():
+            outs = refs[len(refs) - n_out - (2 if algo == "logshift" else 0):]
+            vox_ref, offo_ref = outs[0], outs[1]
+            vox_ref[:] = jnp.full_like(vox_ref, -1)
+            offo_ref[:] = jnp.full_like(offo_ref, PACK5_ZERO)
+            if own_slab is not None:
+                outs[2][:] = jnp.zeros_like(outs[2])
+                outs[3][:] = jnp.zeros_like(outs[3])
+        return
+    _fill_kernel_body(refs, cap=cap, own_slab=own_slab, algo=algo, perm=perm)
+
+
+def _fill_kernel_body(refs, *, cap, own_slab=None, algo="logshift",
+                      perm=False):
     idx = 3
     box_ref, lt_ref, off_ref = refs[:3]
     if perm:
@@ -186,6 +215,7 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
     order: np.ndarray = None,  # (K,) table position per box column, or None
     own_slab=None,   # (start_col, cell_vol) to also emit the own-cell ranks
     elig: np.ndarray = None,  # (K, <=8) f32 per-SOURCE-column eligibility
+    num_valid: jnp.ndarray = None,  # () int32 live-window prefix count
 ):
     """Nearest-first capacity fill. Returns ((NW, cap) int32 voxel rows with
     -1 padding, (NW, cap) int32 packed offsets with 0 padding).
@@ -229,22 +259,30 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
         else:     # slots loop selects in the source frame
             offv[0, :k] = np.asarray(offs_packed, np.int32)[
                 np.asarray(order, np.int64)]
+    has_nv = num_valid is not None
     kernel = functools.partial(_fill_kernel, cap=cap, own_slab=own_slab,
-                               algo=algo, perm=perm)
-    in_specs = [
-        pl.BlockSpec((row_block, kp), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((kp, kp), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, kp), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_specs = [
-        pl.BlockSpec((row_block, cap), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((row_block, cap), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+                               algo=algo, perm=perm, has_nv=has_nv,
+                               row_block=row_block)
+    if has_nv:
+        def _row(i, nv):
+            return (jnp.minimum(
+                i, jnp.maximum((nv[0] + row_block - 1) // row_block - 1, 0)),
+                0)
+        row_spec = pl.BlockSpec((row_block, kp), _row,
+                                memory_space=pltpu.VMEM)
+        cst = lambda a, b_: pl.BlockSpec((a, b_), lambda i, nv: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        out = lambda c: pl.BlockSpec((row_block, c), lambda i, nv: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    else:
+        row_spec = pl.BlockSpec((row_block, kp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        cst = lambda a, b_: pl.BlockSpec((a, b_), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        out = lambda c: pl.BlockSpec((row_block, c), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    in_specs = [row_spec, cst(kp, kp), cst(8, kp)]
+    out_specs = [out(cap), out(cap)]
     out_shape = [
         jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
         jax.ShapeDtypeStruct((nwp, cap), jnp.int32),
@@ -258,23 +296,16 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
         operands += [jnp.asarray(pmat, jnp.bfloat16),
                      jnp.asarray(np.triu(np.ones((kp, kp), np.float32),
                                          k=1), jnp.bfloat16)]
-        in_specs += [pl.BlockSpec((kp, kp), lambda i: (0, 0),
-                                  memory_space=pltpu.VMEM)] * 2
+        in_specs += [cst(kp, kp)] * 2
     if own_slab is not None:
         cv = int(own_slab[1])
         elig8 = np.zeros((kp, 8), np.float32)
         if elig is not None:
             e = np.asarray(elig, np.float32)
             elig8[:k, :e.shape[1]] = e
-        in_specs.append(pl.BlockSpec((kp, 8), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(cst(kp, 8))
         operands.append(jnp.asarray(elig8, jnp.bfloat16))
-        out_specs += [
-            pl.BlockSpec((row_block, cv), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_block, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        out_specs += [out(cv), out(8)]
         out_shape += [
             jax.ShapeDtypeStruct((nwp, cv), jnp.int32),
             jax.ShapeDtypeStruct((nwp, 8), jnp.int32),
@@ -283,15 +314,29 @@ def fill_capacity_buffer(  # call under jit; offs_packed is host-static data
         [pltpu.VMEM((row_block, kp), jnp.int32)] * 2
         if algo == "logshift" else []
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nwp // row_block,),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        scratch_shapes=scratch_shapes,
-        interpret=interpret,
-    )(*operands)
+    if has_nv:
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nwp // row_block,),
+                in_specs=in_specs,
+                out_specs=tuple(out_specs),
+                scratch_shapes=tuple(scratch_shapes),
+            ),
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )(jnp.asarray(num_valid, jnp.int32).reshape(1), *operands)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nwp // row_block,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(*operands)
     return tuple(o[:nw] for o in outs)
 
 

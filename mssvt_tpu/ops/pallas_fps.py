@@ -92,7 +92,7 @@ def _fps_kernel_t(x_ref, y_ref, z_ref, o_ref, *, npoint):
     o_ref[:] = out
 
 
-def _fps_kernel_t_sel(*refs, npoint, naux):
+def _fps_kernel_t_sel(*refs, npoint, naux, col_block=0, nw_half=0):
     """Transposed FPS that ALSO emits the selected values of every input
     plane (coords + aux planes, e.g. buffer indices as exact f32).
 
@@ -103,7 +103,33 @@ def _fps_kernel_t_sel(*refs, npoint, naux):
     (element-descriptor-rate bound on TPU). Iteration i's reduction is the
     coords of the PREVIOUS pick (slot i-1); slot npoint-1 gets one extra
     reduction after the loop.
+
+    With ``nw_half`` the input columns are two stacked halves (win1 buffers
+    at [0, nw_half), win2 at [nw_half, 2*nw_half)), each with a live-window
+    PREFIX given by the scalar-prefetched count: column blocks past the
+    prefix in either half skip the sequential loop entirely and emit zeros.
     """
+    if nw_half:
+        nv_ref, *refs = refs
+        c0 = pl.program_id(0) * col_block
+        nv = nv_ref[0]
+        dead = jnp.logical_or(
+            jnp.logical_and(c0 >= nv, c0 + col_block <= nw_half),
+            c0 >= nw_half + nv)
+
+        @pl.when(dead)
+        def _skip():
+            for ref in refs[3 + naux:]:
+                ref[:] = jnp.zeros_like(ref)
+
+        @pl.when(jnp.logical_not(dead))
+        def _run():
+            _fps_t_sel_body(refs, npoint, naux)
+        return
+    _fps_t_sel_body(refs, npoint, naux)
+
+
+def _fps_t_sel_body(refs, npoint, naux):
     planes = [r[:].astype(jnp.float32) for r in refs[:3 + naux]]  # (N, W)
     o_ref = refs[3 + naux]
     sel_refs = refs[4 + naux:]
@@ -142,14 +168,19 @@ def _fps_kernel_t_sel(*refs, npoint, naux):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("npoint", "col_block", "interpret"))
+    jax.jit, static_argnames=("npoint", "col_block", "interpret", "nw_half"))
 def farthest_point_sample_planes_pallas_t_sel(
     x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, aux,
     npoint: int, col_block: int = 128, interpret: bool = False,
+    num_valid: jnp.ndarray = None, nw_half: int = 0,
 ):
     """Transposed-layout FPS returning ``(idx (B, npoint) int32, selected
     planes)`` — selections of (x, y, z, *aux) at the picks, each (B,
-    npoint) f32. Aux planes must be f32-exact (|v| < 2**24)."""
+    npoint) f32. Aux planes must be f32-exact (|v| < 2**24).
+
+    ``num_valid``/``nw_half``: the rows are two stacked nw_half-row halves,
+    each with a live prefix of num_valid rows — fully-dead column blocks
+    skip the sequential loop and their input DMAs (tail routing)."""
     b, n = x.shape
     pad = (-b) % col_block
     planes = [x, y, z] + list(aux)
@@ -157,21 +188,52 @@ def farthest_point_sample_planes_pallas_t_sel(
           for p in planes]
     bp = b + pad
     naux = len(aux)
-    kernel = functools.partial(_fps_kernel_t_sel, npoint=npoint, naux=naux)
     nplanes = 3 + naux
-    outs = pl.pallas_call(
-        kernel,
-        grid=(bp // col_block,),
-        in_specs=[pl.BlockSpec((n, col_block), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)] * nplanes,
-        out_specs=tuple(
-            [pl.BlockSpec((npoint, col_block), lambda i: (0, i),
-                          memory_space=pltpu.VMEM)] * (1 + nplanes)),
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((npoint, bp), jnp.int32)]
-            + [jax.ShapeDtypeStruct((npoint, bp), jnp.float32)] * nplanes),
-        interpret=interpret,
-    )(*tp)
+    has_nv = num_valid is not None and nw_half
+    kernel = functools.partial(
+        _fps_kernel_t_sel, npoint=npoint, naux=naux,
+        col_block=(col_block if has_nv else 0),
+        nw_half=(int(nw_half) if has_nv else 0))
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((npoint, bp), jnp.int32)]
+        + [jax.ShapeDtypeStruct((npoint, bp), jnp.float32)] * nplanes)
+    if has_nv:
+        nwh = int(nw_half)
+
+        def _col(i, nv):
+            c0 = i * col_block
+            dead = jnp.logical_or(
+                jnp.logical_and(c0 >= nv[0], c0 + col_block <= nwh),
+                c0 >= nwh + nv[0])
+            return (0, jnp.where(dead, 0, i))
+
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bp // col_block,),
+                in_specs=[pl.BlockSpec((n, col_block), _col,
+                                       memory_space=pltpu.VMEM)] * nplanes,
+                out_specs=tuple(
+                    [pl.BlockSpec((npoint, col_block),
+                                  lambda i, nv: (0, i),
+                                  memory_space=pltpu.VMEM)] * (1 + nplanes)),
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray(num_valid, jnp.int32).reshape(1), *tp)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(bp // col_block,),
+            in_specs=[pl.BlockSpec((n, col_block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)] * nplanes,
+            out_specs=tuple(
+                [pl.BlockSpec((npoint, col_block), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)] * (1 + nplanes)),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*tp)
     idx = outs[0].T[:b]
     sels = tuple(o.T[:b] for o in outs[1:])
     return idx, sels

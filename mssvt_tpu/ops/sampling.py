@@ -115,7 +115,8 @@ def farthest_point_sample_planes(x: jnp.ndarray, y: jnp.ndarray,
     return out
 
 
-def farthest_point_sample_planes_select(x, y, z, aux, npoint: int):
+def farthest_point_sample_planes_select(x, y, z, aux, npoint: int,
+                                        num_valid=None, nw_half: int = 0):
     """FPS that also returns the selected values of (x, y, z, *aux) at the
     picks, each (B, npoint) f32.
 
@@ -139,7 +140,8 @@ def farthest_point_sample_planes_select(x, y, z, aux, npoint: int):
 
         return farthest_point_sample_planes_pallas_t_sel(
             x, y, z, tuple(aux), npoint, col_block=128,
-            interpret=(mode == "interpret"))
+            interpret=(mode == "interpret"),
+            num_valid=num_valid, nw_half=nw_half)
     idx = farthest_point_sample_planes(x, y, z, npoint)
     sels = tuple(
         jnp.take_along_axis(p.astype(jnp.float32), idx, axis=1)

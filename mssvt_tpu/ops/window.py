@@ -257,10 +257,37 @@ def _candidate_window_deltas(win1_size, tables: QueryTables) -> np.ndarray:
         d_lo = int(np.ceil((0 - w // 2 - int(tables.off_max[dim])) / w))
         d_hi = int(np.floor(((w - 1) - w // 2 - int(tables.off_min[dim])) / w))
         rngs.append(range(d_lo, d_hi + 1))
+    # run-major order — (dx, dz) outer, dy INNER — so that with the
+    # y-innermost cell layout of the run-gather fast path (see
+    # ``_delta_runs``) consecutive deltas are key-contiguous table rows
     return np.asarray(
-        [(dx, dy, dz) for dx in rngs[0] for dy in rngs[1] for dz in rngs[2]],
+        [(dx, dy, dz) for dx in rngs[0] for dz in rngs[2] for dy in rngs[1]],
         np.int32,
     )
+
+
+def _delta_runs(deltas: np.ndarray):
+    """Group run-major deltas into dy-contiguous runs.
+
+    Returns (run_base (R, 3) xyz deltas at dy = dy_lo, run_len) or
+    (None, None) when the runs are not uniform (caller falls back to
+    per-delta row gathers).
+    """
+    deltas = np.asarray(deltas)
+    runs = []
+    i, n = 0, len(deltas)
+    while i < n:
+        dx, _, dz = deltas[i]
+        j = i + 1
+        while (j < n and deltas[j][0] == dx and deltas[j][2] == dz
+               and deltas[j][1] == deltas[j - 1][1] + 1):
+            j += 1
+        runs.append((i, j - i))
+        i = j
+    lens = {ln for _, ln in runs}
+    if len(lens) != 1:
+        return None, None
+    return np.asarray([deltas[i] for i, _ in runs], np.int32), lens.pop()
 
 
 def _pack_offsets5(offsets: np.ndarray) -> np.ndarray:
@@ -372,7 +399,7 @@ def _fill_mode() -> str:
 def _gather_via_own_cells(
     win_coords, win_valid, coords, valid, win_grid, win1_size,
     tables: QueryTables, caps, names, batch_size: int,
-    return_inverse: bool, mode: str,
+    return_inverse: bool, mode: str, num_valid=None,
 ):
     """Neighbor-row formulation of the mixed-scale gather.
 
@@ -400,34 +427,104 @@ def _gather_via_own_cells(
     # the fill kernel's log-shift path transports voxel rows as three exact
     # 8-bit bf16 planes (pallas_fill.py)
     assert v < (1 << 24) - 1, "voxel capacity exceeds 24-bit row transport"
-    n_cells = batch_size * win_grid[0] * win_grid[1] * win_grid[2]
+    gx, gy, gz = (int(s) for s in win_grid)
+    n_cells = batch_size * gx * gy * gz
 
-    # 1. own-cell table
+    # Default "rows": the y-contiguous span-gather formulation ("run" — one
+    # lax.gather descriptor per (dx, dz) run of ln*cv contiguous ints) was
+    # A/B-measured 2026-08-20 and LOST catastrophically: sync 54.6 ->
+    # 268.6 ms/frame (XLA lowers multi-element-slice gathers to a
+    # latency-bound form, HBM at 9.9% of peak — not row DMAs). Kept behind
+    # the env var as the measured counterexample; the per-delta row gather
+    # at 7.9 ns/row stands.
+    run_base, run_len = (
+        _delta_runs(tables.deltas)
+        if os.environ.get("MSSVT_BOX_GATHER", "rows") == "run" else
+        (None, None))
     div = jnp.asarray([1, wz, wy, wx], jnp.int32)
-    own_key = linearize_coords(coords // div, win_grid, valid)  # (V,)
     lid = ((coords[:, 3] % wx) * wy + (coords[:, 2] % wy)) * wz \
         + (coords[:, 1] % wz)  # (V,) in-cell local id
-    # row n_cells is the never-written padding row (nbr_row routes invalid
-    # neighbors there); allocating it inside the table kills a concat+copy
-    # of the whole (n_cells, cv) slab (measured 3.1 ms/step at the first
-    # compress block's 118 MB table)
-    slot = jnp.where(own_key != INVALID_KEY, own_key * cv + lid,
-                     (n_cells + 1) * cv + jnp.arange(v, dtype=jnp.int32))
-    table = jnp.full(((n_cells + 1) * cv + v,), -1, jnp.int32).at[slot].set(
-        jnp.arange(v, dtype=jnp.int32), mode="drop", unique_indices=True
-    )
-    table2 = table[:(n_cells + 1) * cv].reshape(n_cells + 1, cv)
 
-    # 2. neighbor rows -> box table in traversal order
-    deltas = jnp.asarray(tables.deltas)  # (D, 3) xyz
-    d = deltas.shape[0]
-    nbr_xyz = win_coords[:, None, [3, 2, 1]] + deltas[None]  # (nw, D, 3)
-    nbr = jnp.concatenate(
-        [jnp.broadcast_to(win_coords[:, None, 0:1], (nw, d, 1)),
-         nbr_xyz[..., ::-1]], axis=-1)  # (nw, D, 4) bzyx
-    nbr_key = linearize_coords(nbr, win_grid, valid=win_valid[:, None])
-    nbr_row = jnp.where(nbr_key != INVALID_KEY, nbr_key, n_cells)
-    box_d = table2[nbr_row]  # (nw, D, cv) row gather
+    if run_base is not None:
+        # --- run-gather formulation. The standard (z-innermost) cell key
+        # layout puts dy±1 neighbors z_max rows apart, so the box table
+        # needed one row-gather descriptor PER DELTA at cv ints/row (288 B
+        # for the 3x3x8 window — misaligned vs the 512 B HBM burst;
+        # xplane-measured 7.9 ns/row, 4x the chip's row-gather floor).
+        # A Y-INNERMOST layout makes each (dx, dz) run of dy deltas
+        # key-contiguous: one descriptor per RUN at run_len*cv ints —
+        # 3x fewer descriptors, 3x wider reads. Wrapped columns (y at the
+        # grid edge reads the adjacent z-slot) are masked afterwards; a
+        # front pad cell absorbs y = -1 starts exactly.
+        def lin_y(c4, vmask):
+            b_, z_, y_, x_ = (c4[..., 0], c4[..., 1], c4[..., 2], c4[..., 3])
+            ok = ((b_ >= 0) & (x_ >= 0) & (x_ < gx) & (y_ >= 0) & (y_ < gy)
+                  & (z_ >= 0) & (z_ < gz))
+            if vmask is not None:
+                ok = ok & vmask
+            key = ((b_ * gx + x_) * gz + z_) * gy + y_
+            return jnp.where(ok, key, INVALID_KEY).astype(jnp.int32)
+
+        own_key = lin_y(coords // div, valid)
+        inv_win_key = lin_y(win_coords, win_valid)
+        ln = int(run_len)
+        base_cells = 1 + n_cells + ln  # front pad + back pad
+        slot = jnp.where(own_key != INVALID_KEY, (own_key + 1) * cv + lid,
+                         base_cells * cv + jnp.arange(v, dtype=jnp.int32))
+        table = jnp.full((base_cells * cv + v,), -1, jnp.int32).at[slot].set(
+            jnp.arange(v, dtype=jnp.int32), mode="drop", unique_indices=True)
+        tablef = table[:base_cells * cv]
+
+        rb = jnp.asarray(run_base)  # (R, 3) xyz deltas at dy = dy_lo
+        xd = win_coords[:, None, 3] + rb[None, :, 0]  # (nw, R)
+        yd = win_coords[:, None, 2] + rb[None, :, 1]
+        zd = win_coords[:, None, 1] + rb[None, :, 2]
+        run_ok = (win_valid[:, None] & (xd >= 0) & (xd < gx)
+                  & (zd >= 0) & (zd < gz))
+        raw = ((win_coords[:, None, 0] * gx + jnp.clip(xd, 0, gx - 1)) * gz
+               + jnp.clip(zd, 0, gz - 1)) * gy + yd
+        start = jnp.where(run_ok, raw + 1, 0)  # +1 = front pad cell
+        start = jnp.clip(start, 0, n_cells + ln)
+        spans = jax.lax.gather(
+            tablef, (start.reshape(-1, 1) * cv),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(ln * cv,),
+            mode=jax.lax.GatherScatterMode.CLIP)  # (nw*R, ln*cv)
+        deltas = jnp.asarray(tables.deltas)  # (D, 3), run-major order
+        d = deltas.shape[0]
+        y_all = win_coords[:, None, 2] + deltas[None, :, 1]  # (nw, D)
+        d_ok = (jnp.repeat(run_ok, ln, axis=1)
+                & (y_all >= 0) & (y_all < gy))
+        box_d = jnp.where(d_ok[:, :, None],
+                          spans.reshape(nw, d, cv), -1)
+    else:
+        # --- per-delta row-gather formulation (standard key layout)
+        own_key = linearize_coords(coords // div, win_grid, valid)  # (V,)
+        inv_win_key = linearize_coords(win_coords, win_grid, win_valid)
+        # row n_cells is the never-written padding row (nbr_row routes
+        # invalid neighbors there); allocating it inside the table kills a
+        # concat+copy of the whole (n_cells, cv) slab (measured 3.1 ms/step
+        # at the first compress block's 118 MB table)
+        slot = jnp.where(own_key != INVALID_KEY, own_key * cv + lid,
+                         (n_cells + 1) * cv + jnp.arange(v, dtype=jnp.int32))
+        table = jnp.full(((n_cells + 1) * cv + v,), -1, jnp.int32).at[
+            slot].set(
+            jnp.arange(v, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
+        table2 = table[:(n_cells + 1) * cv].reshape(n_cells + 1, cv)
+
+        # neighbor rows -> box table in traversal order
+        deltas = jnp.asarray(tables.deltas)  # (D, 3) xyz
+        d = deltas.shape[0]
+        nbr_xyz = win_coords[:, None, [3, 2, 1]] + deltas[None]  # (nw, D, 3)
+        nbr = jnp.concatenate(
+            [jnp.broadcast_to(win_coords[:, None, 0:1], (nw, d, 1)),
+             nbr_xyz[..., ::-1]], axis=-1)  # (nw, D, 4) bzyx
+        nbr_key = linearize_coords(nbr, win_grid, valid=win_valid[:, None])
+        nbr_row = jnp.where(nbr_key != INVALID_KEY, nbr_key, n_cells)
+        box_d = table2[nbr_row]  # (nw, D, cv) row gather
     order = tables.inv_src  # static: table position per source column
     if order is None:  # non-bijective col_src: explicit permutation gather
         box = box_d.reshape(nw, d * cv)[:, jnp.asarray(tables.col_src)]
@@ -456,7 +553,7 @@ def _gather_via_own_cells(
         outs = fill_capacity_buffer(box, offs_packed, cap2,
                                     interpret=(mode == "interpret"),
                                     order=order, own_slab=own_slab,
-                                    elig=elig_src)
+                                    elig=elig_src, num_valid=num_valid)
     ind2, off2 = outs[0], outs[1]
     rank_own = outs[2] if want_extras else None
     cnt = outs[3] if want_extras else None
@@ -468,7 +565,7 @@ def _gather_via_own_cells(
                         "mask": ind2 < 0}}
         if return_inverse:
             out["inv_win1"] = _own_cell_inverse(
-                win_coords, win_grid, win_valid, own_key, lid, valid,
+                inv_win_key, win_valid, own_key, lid, valid,
                 (box >= 0).astype(jnp.float32), tables, k_total, n_cells,
                 nw, int(caps["win1"]), int(caps["win1"]),
                 rank_own=rank_own)
@@ -489,13 +586,13 @@ def _gather_via_own_cells(
 
     if return_inverse:
         out["inv_win1"] = _own_cell_inverse(
-            win_coords, win_grid, win_valid, own_key, lid, valid,
+            inv_win_key, win_valid, own_key, lid, valid,
             (box >= 0).astype(jnp.float32), tables, k_total, n_cells,
             nw, int(caps["win1"]), cap2, rank_own=rank_own)
     return out
 
 
-def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
+def _own_cell_inverse(win_key, win_valid, own_key, lid, valid,
                       occf, tables, k_total, n_cells, nw, cap1, cap2,
                       rank_own=None):
     """voxel -> (window row, win1 slot) inverse map.
@@ -508,8 +605,10 @@ def _own_cell_inverse(win_coords, win_grid, win_valid, own_key, lid, valid,
     is active (tables.inv_src — see fill_capacity_buffer): the rank matrix
     becomes the static order comparison, and the voxel's own column is the
     arithmetic ``d0*cell_vol + lid`` (no k_own_lut gather).
+
+    ``win_key`` and ``own_key`` must share ONE cell-key layout (standard or
+    y-innermost — the caller computed both).
     """
-    win_key = linearize_coords(win_coords, win_grid, win_valid)
     wsafe = jnp.where(win_key != INVALID_KEY, win_key,
                       n_cells + 1 + jnp.arange(nw, dtype=jnp.int32))
     cell_rows = jnp.full((n_cells + 1 + nw,), -1, jnp.int32).at[
@@ -561,6 +660,7 @@ def gather_window_voxels(
     batch_size: Optional[int] = None,
     buffers: Optional[Tuple[str, ...]] = None,
     return_inverse: bool = False,
+    num_valid=None,
 ):
     """Gather voxel rows + relative grid coords for every window, all scales.
 
@@ -616,7 +716,8 @@ def gather_window_voxels(
             and tables.col_src is not None):
         return _gather_via_own_cells(
             win_coords, win_valid, coords, valid, win_grid, win1_size,
-            tables, caps, names, batch_size, return_inverse, mode)
+            tables, caps, names, batch_size, return_inverse, mode,
+            num_valid=num_valid)
 
     ws = jnp.asarray(ws_np)
     vox_xyz = coords[:, [3, 2, 1]]

@@ -151,7 +151,7 @@ def _make_ablation(name):
         return _patched(A.MixedScaleAttention, "__call__", stub)
 
     if name == "fps":
-        def stub(x, y, z, aux, npoint):
+        def stub(x, y, z, aux, npoint, **kw):
             b, n = x.shape
             fps = jnp.zeros((b, npoint), jnp.int32)
             sel = (x[:, :npoint], y[:, :npoint], z[:, :npoint],
