@@ -506,14 +506,17 @@ def _gather_via_own_cells(
         # row n_cells is the never-written padding row (nbr_row routes
         # invalid neighbors there); allocating it inside the table kills a
         # concat+copy of the whole (n_cells, cv) slab (measured 3.1 ms/step
-        # at the first compress block's 118 MB table)
-        slot = jnp.where(own_key != INVALID_KEY, own_key * cv + lid,
-                         (n_cells + 1) * cv + jnp.arange(v, dtype=jnp.int32))
-        table = jnp.full(((n_cells + 1) * cv + v,), -1, jnp.int32).at[
-            slot].set(
+        # at the first compress block's 118 MB table).
+        # Built natively 2D: a 1D build + slice + reshape retiles the whole
+        # ~118 MB table twice on TPU (1D T(1024) -> 2D T(8,128) is a real
+        # copy, xplane-measured ~4.4 ms/step across the two blocks). Invalid
+        # voxels take a unique out-of-bounds row and drop in the scatter.
+        row_idx = jnp.where(own_key != INVALID_KEY, own_key,
+                            n_cells + 1 + jnp.arange(v, dtype=jnp.int32))
+        table2 = jnp.full((n_cells + 1, cv), -1, jnp.int32).at[
+            row_idx, lid].set(
             jnp.arange(v, dtype=jnp.int32), mode="drop", unique_indices=True
         )
-        table2 = table[:(n_cells + 1) * cv].reshape(n_cells + 1, cv)
 
         # neighbor rows -> box table in traversal order
         deltas = jnp.asarray(tables.deltas)  # (D, 3) xyz
