@@ -381,9 +381,9 @@ class MsSVTBlock(nn.Module):
             # sync and was pruned — see git history (ops/pallas_interp.py).
             w3 = three_interp_weights_planes(
                 win1_m[0], win1_m[1], win1_m[2],
-                q_m[0], q_m[1], q_m[2])
+                q_m[0], q_m[1], q_m[2], dtype=attn_fea.dtype)
             win1_fea = jnp.einsum(
-                "bnm,bmc->bnc", w3.astype(attn_fea.dtype), attn_fea,
+                "bnm,bmc->bnc", w3, attn_fea,
                 preferred_element_type=attn_fea.dtype)  # (NW, n1, C)
             upd_ind, upd_fea = win1b["ind"], win1_fea
         else:

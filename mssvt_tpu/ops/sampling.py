@@ -183,16 +183,24 @@ def three_nn_planes(ux, uy, uz, kx, ky, kz):
     return -neg, idx.astype(jnp.int32)
 
 
-def three_interp_weights_planes(ux, uy, uz, kx, ky, kz):
+def three_interp_weights_planes(ux, uy, uz, kx, ky, kz, dtype=jnp.float32):
     """Dense 3-NN inverse-distance interpolation matrix from planes.
 
     Fuses :func:`three_nn_planes` + the weight normalization +
     :func:`three_interpolate`'s one-hot expansion into one (B, n, m)
     row-sparse matrix W (rows sum to 1 over the 3 picked columns), so the
-    caller's whole interpolation is ``W @ features``. Avoids materializing
-    both the (B, n, 3, m) one-hot and the separate idx/weight tensors —
-    the picks fold into the argmin sweeps directly. Same distance form and
-    first-min tie-break as ``three_nn_planes``.
+    caller's whole interpolation is ``W @ features``. Same first-min
+    tie-break as ``three_nn_planes``.
+
+    The output is written directly in the caller's compute ``dtype``
+    (bf16 on the bench path — halves the einsum's W3 read bytes).
+
+    Distance form: the einsum/expansion d2 (u² + k² − 2uk) is kept
+    deliberately — XLA recomputes it into each argmin sweep instead of
+    materializing the (B, n, m) tensor. A broadcasted-difference rewrite
+    intended to "avoid materialization" was A/B-probed 2026-08-20 and
+    EXPLODED bytes 25.4 → 219 GB/frame (XLA materializes every masked
+    copy of the diff form); see git history.
 
     Weight form parity: the reference's batch ``three_nn`` wrapper returns
     ``torch.sqrt(dist2)`` (pointnet2_batch/pointnet2_utils.py:98) and the
@@ -212,17 +220,19 @@ def three_interp_weights_planes(ux, uy, uz, kx, ky, kz):
     k_eff = min(3, m)
     work = d2
     lane = jnp.arange(m)
-    w3 = jnp.zeros_like(d2)
+    w3 = jnp.zeros(d2.shape, dtype)
     wsum = jnp.zeros(d2.shape[:2] + (1,), d2.dtype)
+    picked = []
     for _ in range(k_eff):
         d_k = jnp.min(work, axis=-1, keepdims=True)  # (B, n, 1)
         i_k = jnp.argmin(work, axis=-1)[..., None]  # ties → lowest index
-        first = lane == i_k
         wgt = 1.0 / jnp.clip(jnp.sqrt(d_k), 1e-10, None)
-        w3 = w3 + jnp.where(first, wgt, 0.0)
+        picked.append((i_k, wgt))
         wsum = wsum + wgt
-        work = jnp.where(first, jnp.inf, work)
-    return w3 / wsum
+        work = jnp.where(lane == i_k, jnp.inf, work)
+    for i_k, wgt in picked:
+        w3 = w3 + jnp.where(lane == i_k, wgt / wsum, 0.0).astype(dtype)
+    return w3
 
 
 def farthest_point_sample_masked(xyz: jnp.ndarray, valid: jnp.ndarray,

@@ -513,7 +513,19 @@ def _gather_via_own_cells(
         # voxels take a unique out-of-bounds row and drop in the scatter.
         row_idx = jnp.where(own_key != INVALID_KEY, own_key,
                             n_cells + 1 + jnp.arange(v, dtype=jnp.int32))
-        table2 = jnp.full((n_cells + 1, cv), -1, jnp.int32).at[
+        # HBM-burst alignment: at cv = 72 a table row is 288 B, misaligned
+        # vs the 512 B burst — the neighbor row gather measured 7.9 ns/row,
+        # ~4x the chip's aligned row-gather floor. Padding rows to a 512 B
+        # multiple costs extra sequential write/slice traffic (fast) to make
+        # every gathered row one aligned burst (the slow, random part). The
+        # optimization_barrier pins the padded materialization so XLA can't
+        # fuse the compacting slice back into the gather (which would shrink
+        # slice_sizes back to the misaligned cv form).
+        cv_pad = -(-cv * 4 // 512) * 512 // 4
+        pad_on = (cv_pad != cv
+                  and os.environ.get("MSSVT_BOX_PAD", "1") == "1")
+        cv_t = cv_pad if pad_on else cv
+        table2 = jnp.full((n_cells + 1, cv_t), -1, jnp.int32).at[
             row_idx, lid].set(
             jnp.arange(v, dtype=jnp.int32), mode="drop", unique_indices=True
         )
@@ -527,7 +539,9 @@ def _gather_via_own_cells(
              nbr_xyz[..., ::-1]], axis=-1)  # (nw, D, 4) bzyx
         nbr_key = linearize_coords(nbr, win_grid, valid=win_valid[:, None])
         nbr_row = jnp.where(nbr_key != INVALID_KEY, nbr_key, n_cells)
-        box_d = table2[nbr_row]  # (nw, D, cv) row gather
+        box_d = table2[nbr_row]  # (nw, D, cv_t) row gather
+        if pad_on:
+            box_d = jax.lax.optimization_barrier(box_d)[..., :cv]
     order = tables.inv_src  # static: table position per source column
     if order is None:  # non-bijective col_src: explicit permutation gather
         box = box_d.reshape(nw, d * cv)[:, jnp.asarray(tables.col_src)]
