@@ -2,12 +2,12 @@
 
 Replaces the polygon-clipping CUDA kernels
 (ref: pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu:104-265) with a fully
-vectorized, static-shape formulation: the intersection polygon of two rotated
-rectangles is spanned by at most 24 candidate vertices (16 edge-edge
-crossings + 2x4 contained corners); we enumerate all candidates, mask the
-invalid ones, sort by angle about their centroid, and apply the shoelace
-formula. Deterministic, batched, runs on TPU or CPU (the same code backs both
-device NMS and host-side evaluation).
+vectorized, static-shape formulation: each quad edge is clipped to the
+other quad's four ccw half-planes as a parameter interval [t0, t1], and the
+shoelace/Green's-theorem sum decomposes per retained sub-segment — no
+candidate-vertex enumeration, no angular sort. Deterministic, batched, runs
+on TPU or CPU (the same code backs both device NMS and host-side
+evaluation).
 
 Boxes follow the OpenPCDet convention: (x, y, z, dx, dy, dz, heading),
 heading about +z.
@@ -32,78 +32,68 @@ def boxes_to_corners_bev(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([cx, cy], axis=-1)
 
 
-def _points_in_quad(pts: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
-    """pts (..., P, 2) inside convex ccw quad (..., 4, 2) → (..., P) bool."""
-    a = quad
-    b = jnp.roll(quad, -1, axis=-2)
-    e = (b - a)[..., :, None, :]  # (..., 4, 1, 2)
-    ap = pts[..., None, :, :] - a[..., :, None, :]  # (..., 4, P, 2)
-    cr = e[..., 0] * ap[..., 1] - e[..., 1] * ap[..., 0]  # (..., 4, P)
-    return jnp.all(cr >= -EPS, axis=-2)
 
 
-def _segment_intersections(ca: jnp.ndarray, cb: jnp.ndarray):
-    """All 16 edge-edge crossings of two quads (..., 4, 2) → pts (..., 16, 2)."""
-    a0 = ca
-    a1 = jnp.roll(ca, -1, axis=-2)
-    b0 = cb
-    b1 = jnp.roll(cb, -1, axis=-2)
+def _clipped_edge_cross_sum(poly_e: jnp.ndarray, poly_h: jnp.ndarray,
+                            bound: float) -> jnp.ndarray:
+    """Σ over poly_e's edges of cross(P1, P2) after clipping to poly_h.
 
-    p = a0[..., :, None, :]  # (..., 4, 1, 2)
-    r = (a1 - a0)[..., :, None, :]
-    q = b0[..., None, :, :]  # (..., 1, 4, 2)
-    s = (b1 - b0)[..., None, :, :]
+    Each ccw edge of ``poly_e`` is restricted to the parameter interval
+    [t0, t1] where it satisfies all four ccw half-planes of ``poly_h``
+    (inside(x) = cross(h_edge, x - h0) >= bound); the retained sub-segment
+    contributes cross(P1, P2) to the shoelace sum about the origin.
+    ``bound`` = -EPS keeps boundary-coincident edges (closed interior),
+    +EPS drops them (open interior) — the A/B passes use opposite signs so
+    a shared boundary segment is counted exactly once.
+    """
+    p0 = poly_e  # (..., 4, 2)
+    d = jnp.roll(poly_e, -1, axis=-2) - poly_e
+    h0 = poly_h
+    he = jnp.roll(poly_h, -1, axis=-2) - poly_h
 
-    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]  # (..., 4, 4)
-    safe = jnp.where(jnp.abs(rxs) < EPS, 1.0, rxs)
-    qp = q - p
-    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
-    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
-    valid = (jnp.abs(rxs) >= EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    pts = p + t[..., None] * r  # (..., 4, 4, 2)
-
-    lead = pts.shape[:-3]
-    return pts.reshape(lead + (16, 2)), valid.reshape(lead + (16,))
+    pe = p0[..., :, None, :]  # (..., 4 edges, 1, 2)
+    de = d[..., :, None, :]
+    hk = h0[..., None, :, :]  # (..., 1, 4 half-planes, 2)
+    ek = he[..., None, :, :]
+    rel = pe - hk
+    # inside(p + t d) = num + t * den >= bound
+    num = ek[..., 0] * rel[..., 1] - ek[..., 1] * rel[..., 0]  # (..., 4, 4)
+    den = ek[..., 0] * de[..., 1] - ek[..., 1] * de[..., 0]
+    safe = jnp.where(jnp.abs(den) < EPS,
+                     jnp.where(den >= 0, EPS, -EPS), den)
+    tc = (bound - num) / safe
+    t_lo = jnp.where(den > EPS, tc, 0.0)   # entering: t >= tc
+    t_hi = jnp.where(den < -EPS, tc, 1.0)  # exiting:  t <= tc
+    dead = (jnp.abs(den) <= EPS) & (num < bound)  # parallel & outside
+    t0 = jnp.clip(jnp.max(t_lo, axis=-1), 0.0, 1.0)  # (..., 4)
+    t1 = jnp.clip(jnp.min(t_hi, axis=-1), 0.0, 1.0)
+    alive = (~jnp.any(dead, axis=-1)) & (t1 > t0)
+    p1 = p0 + t0[..., None] * d
+    p2 = p0 + t1[..., None] * d
+    cr = p1[..., 0] * p2[..., 1] - p1[..., 1] * p2[..., 0]
+    return jnp.sum(jnp.where(alive, cr, 0.0), axis=-1)
 
 
 def rotated_intersection_area(ca: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
-    """Intersection area of two batches of convex ccw quads (..., 4, 2)."""
-    inter_pts, inter_valid = _segment_intersections(ca, cb)
-    a_in_b = _points_in_quad(ca, cb)  # (..., 4)
-    b_in_a = _points_in_quad(cb, ca)
+    """Intersection area of two batches of convex ccw quads (..., 4, 2).
 
-    pts = jnp.concatenate([inter_pts, ca, cb], axis=-2)  # (..., 24, 2)
-    valid = jnp.concatenate([inter_valid, a_in_b, b_in_a], axis=-1)  # (..., 24)
-
-    count = valid.sum(axis=-1)  # (...,)
-    vf = valid[..., None].astype(pts.dtype)
-    centroid = (pts * vf).sum(axis=-2) / jnp.clip(count, 1, None)[..., None]
-
-    rel = pts - centroid[..., None, :]
-    # Shoelace over the angular ordering WITHOUT a sort: each vertex's cyclic
-    # successor is the valid vertex with the smallest strictly-greater angle
-    # (wrapping to the global minimum), selected by a (24, 24) comparison
-    # matrix and two tiny contractions. The argsort + take_along_axis
-    # formulation this replaces was the single hottest kernel of the whole
-    # model at NMS sizes (2 x 59 ms/frame gathers of (512^2, 24, 2)).
-    n_cand = pts.shape[-2]
-    angle = jnp.arctan2(rel[..., 1], rel[..., 0])
-    # deterministic tie-break: duplicate candidate points get distinct
-    # angles; consecutive duplicates contribute zero area either way
-    angle = angle + jnp.arange(n_cand, dtype=angle.dtype) * 1e-7
-    ang = jnp.where(valid, angle, jnp.inf)
-
-    bigger = ang[..., None, :] > ang[..., :, None]  # (..., i, j)
-    m = jnp.min(jnp.where(bigger, ang[..., None, :], jnp.inf), axis=-1)
-    g = jnp.min(ang, axis=-1, keepdims=True)
-    target = jnp.where(jnp.isinf(m), g, m)  # (..., i)
-    succ = ((ang[..., None, :] == target[..., None])
-            & valid[..., None, :]).astype(rel.dtype)
-    x_n = jnp.einsum("...ij,...j->...i", succ, rel[..., 0])
-    y_n = jnp.einsum("...ij,...j->...i", succ, rel[..., 1])
-    cross = rel[..., 0] * y_n - rel[..., 1] * x_n
-    area = 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0), axis=-1))
-    return jnp.where(count >= 3, area, 0.0)
+    Edge-clipping + Green's theorem: the intersection boundary consists of
+    sub-segments of A's edges inside B and of B's edges inside A, meeting
+    at edge-crossing points. The ccw shoelace sum therefore decomposes per
+    retained sub-segment as cross(P1, P2) — independent of traversal order,
+    since consecutive boundary segments share endpoints (cross(P, P) = 0).
+    This replaces the 24-candidate / angle-successor formulation (see git
+    history): max intermediate rank drops from (..., 24, 24) comparison
+    matrices to (..., 4, 4) clip tables — ~20x fewer bytes through HBM at
+    NMS sizes, no arctan2, and XLA fuses the whole chain.
+    Ref semantics: iou3d_nms_kernel.cu:104-265 (box_overlap).
+    """
+    # closed interior for the A pass, open for the B pass: a boundary
+    # segment shared by both quads is counted exactly once (identical
+    # boxes would otherwise sum their common boundary twice)
+    total = (_clipped_edge_cross_sum(ca, cb, -EPS)
+             + _clipped_edge_cross_sum(cb, ca, EPS))
+    return 0.5 * jnp.abs(total)
 
 
 def pairwise_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:

@@ -33,8 +33,10 @@ def _corners_bev_np(boxes):
 
 def _poly_area_np(ca, cb):
     """Intersection area of convex ccw quads via the 24-candidate method
-    (numpy mirror of ops/box_ops.rotated_intersection_area — pure host math,
-    no jit recompiles across the varying per-frame det/gt counts)."""
+    (pure host math, no jit recompiles across the varying per-frame det/gt
+    counts; ops/box_ops.rotated_intersection_area computes the same area
+    with an edge-clip/Green's-theorem formulation — the two agree to float
+    precision and are cross-checked by tests/test_eval_ap.py)."""
     eps = 1e-8
 
     def pts_in_quad(pts, quad):
