@@ -237,10 +237,20 @@ class MixedScaleAttention(nn.Module):
             q = nn.Dense(sd, dtype=self.dtype, name=f"to_q_{i}")(
                 query[..., start : start + sd]
             )
-            kv = nn.Dense(2 * sd, dtype=self.dtype, name=f"to_kv_{i}")(
-                keys[:, i * nk : (i + 1) * nk, start : start + sd]
-            )
-            k, v = jnp.split(kv, 2, axis=-1)
+            # two half-width dots against slices of the SAME to_kv param
+            # (layout/checkpoints unchanged): one 2*sd-wide dot + split
+            # materializes and re-reads the (b, nk, 2*sd) kv tensor — a
+            # top-level 1.05 GB HLO op at compress-block sizes — while the
+            # sliced dots write k and v exactly once
+            nn.Dense(2 * sd, dtype=self.dtype, name=f"to_kv_{i}")(
+                jnp.zeros((1, 1, sd), self.dtype))  # materialize params
+            pkv = self.scope.get_variable("params", f"to_kv_{i}")
+            keys_i = keys[:, i * nk : (i + 1) * nk, start : start + sd]
+            kern = pkv["kernel"].astype(self.dtype)
+            bias = pkv["bias"].astype(self.dtype)
+            keys_c = keys_i.astype(self.dtype)
+            k = keys_c @ kern[:, :sd] + bias[:sd]
+            v = keys_c @ kern[:, sd:] + bias[sd:]
 
             q = q.reshape(b, nq, h, per_head) * scale
             k = k.reshape(b, nk, h, per_head)
