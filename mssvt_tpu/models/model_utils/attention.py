@@ -55,6 +55,28 @@ def _use_fused_kernel(nq: int, deterministic: bool,
     return ok and nq >= 8 and jax.default_backend() == "tpu"
 
 
+class _GroupProj(nn.Module):
+    """Per-group projection params in ``nn.Dense``'s checkpoint layout
+    (kernel ``(in, out)``, bias ``(out,)``) — same tree path as a Dense
+    submodule of the same name, so checkpoints are interchangeable. Returns
+    the raw arrays so callers can fold them into block-diagonal kernels or
+    run sliced half-width dots without dummy forwards or raw flax scope
+    access (which breaks under nn.Partitioned / lifted transforms)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.out_features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(),
+            (self.out_features,), jnp.float32)
+        return kernel, bias
+
+
 class MixedScaleAttention(nn.Module):
     embed_dim: int
     num_heads: Sequence[int]  # one entry per scale group
@@ -80,22 +102,18 @@ class MixedScaleAttention(nn.Module):
         start = 0
         for i, h in enumerate(self.num_heads):
             sd = per_head * h
-            zed = jnp.zeros((1, 1, sd), self.dtype)
-            nn.Dense(sd, dtype=self.dtype, name=f"to_q_{i}")(zed)
-            nn.Dense(2 * sd, dtype=self.dtype, name=f"to_kv_{i}")(zed)
-            nn.Dense(sd, dtype=self.dtype, name=f"proj_{i}")(zed)
-            pq = self.scope.get_variable("params", f"to_q_{i}")
-            pkv = self.scope.get_variable("params", f"to_kv_{i}")
-            pp = self.scope.get_variable("params", f"proj_{i}")
+            kq, bq_i = _GroupProj(sd, sd, name=f"to_q_{i}")()
+            kkv, bkv_i = _GroupProj(sd, 2 * sd, name=f"to_kv_{i}")()
+            kp, bp_i = _GroupProj(sd, sd, name=f"proj_{i}")()
             sl = slice(start, start + sd)
-            wq = wq.at[sl, sl].set(pq["kernel"])
-            bq = bq.at[sl].set(pq["bias"])
-            wk = wk.at[sl, sl].set(pkv["kernel"][:, :sd])
-            bk = bk.at[sl].set(pkv["bias"][:sd])
-            wv = wv.at[sl, sl].set(pkv["kernel"][:, sd:])
-            bv = bv.at[sl].set(pkv["bias"][sd:])
-            wp = wp.at[sl, sl].set(pp["kernel"])
-            bp = bp.at[sl].set(pp["bias"])
+            wq = wq.at[sl, sl].set(kq)
+            bq = bq.at[sl].set(bq_i)
+            wk = wk.at[sl, sl].set(kkv[:, :sd])
+            bk = bk.at[sl].set(bkv_i[:sd])
+            wv = wv.at[sl, sl].set(kkv[:, sd:])
+            bv = bv.at[sl].set(bkv_i[sd:])
+            wp = wp.at[sl, sl].set(kp)
+            bp = bp.at[sl].set(bp_i)
             start += sd
         return (wq, bq, wk, bk, wv, bv, wp, bp)
 
@@ -242,12 +260,10 @@ class MixedScaleAttention(nn.Module):
             # materializes and re-reads the (b, nk, 2*sd) kv tensor — a
             # top-level 1.05 GB HLO op at compress-block sizes — while the
             # sliced dots write k and v exactly once
-            nn.Dense(2 * sd, dtype=self.dtype, name=f"to_kv_{i}")(
-                jnp.zeros((1, 1, sd), self.dtype))  # materialize params
-            pkv = self.scope.get_variable("params", f"to_kv_{i}")
+            kern, bias = _GroupProj(sd, 2 * sd, name=f"to_kv_{i}")()
             keys_i = keys[:, i * nk : (i + 1) * nk, start : start + sd]
-            kern = pkv["kernel"].astype(self.dtype)
-            bias = pkv["bias"].astype(self.dtype)
+            kern = kern.astype(self.dtype)
+            bias = bias.astype(self.dtype)
             keys_c = keys_i.astype(self.dtype)
             k = keys_c @ kern[:, :sd] + bias[:sd]
             v = keys_c @ kern[:, sd:] + bias[sd:]

@@ -71,7 +71,19 @@ def _clipped_edge_cross_sum(poly_e: jnp.ndarray, poly_h: jnp.ndarray,
         tc = (bound - num) / safe
         t0 = jnp.maximum(t0, jnp.where(den > EPS, tc, 0.0))   # entering
         t1 = jnp.minimum(t1, jnp.where(den < -EPS, tc, 1.0))  # exiting
-        dead |= (jnp.abs(den) <= EPS) & (num < bound)  # parallel & outside
+        kill = (jnp.abs(den) <= EPS) & (num < bound)  # parallel & outside
+        if bound > 0:
+            # Open pass, collinear edge (|den|,|num| ~ 0): orientation decides.
+            # Co-oriented with the half-plane edge -> the quads overlap on the
+            # same side and the closed pass already counted the shared segment
+            # once: drop it here. ANTI-parallel -> the quads merely abut; the
+            # closed pass kept the other quad's coincident edge, so keep this
+            # one too — the opposite traversals' cross terms cancel exactly,
+            # leaving the correct zero area (origin-independent).
+            collinear = (jnp.abs(den) <= EPS) & (jnp.abs(num) <= EPS)
+            anti = (d[..., 0] * ek[..., 0] + d[..., 1] * ek[..., 1]) < 0
+            kill &= ~(collinear & anti)
+        dead |= kill
     t0 = jnp.clip(t0, 0.0, 1.0)  # (..., 4)
     t1 = jnp.clip(t1, 0.0, 1.0)
     alive = (~dead) & (t1 > t0)

@@ -96,6 +96,59 @@ def test_random_vs_raster_oracle(seed):
             assert abs(iou[i, j] - expect) < 0.02, (i, j, iou[i, j], expect)
 
 
+@pytest.mark.parametrize("cx,cy", [(0.0, 0.0), (100.0, 100.0), (-57.3, 212.9)])
+def test_abutting_boxes_zero_intersection(cx, cy):
+    """Edge-sharing (abutting) boxes have inter == 0 regardless of position.
+
+    Regression for the collinear anti-parallel edge case: the closed A-pass
+    keeps the coincident edge but the open B-pass must keep its anti-parallel
+    twin too, so the origin-dependent cross terms cancel exactly.
+    """
+    a = _box(cx, cy, 1, 1, 0)
+    b = _box(cx + 1.0, cy, 1, 1, 0)  # shares the x = cx + 0.5 edge
+    ca = boxes_to_corners_bev(jnp.asarray(a[None]))
+    cb = boxes_to_corners_bev(jnp.asarray(b[None]))
+    inter = float(rotated_intersection_area(ca, cb)[0])
+    assert abs(inter) < 1e-5, inter
+    iou = float(pairwise_iou_bev(jnp.asarray(a[None]), jnp.asarray(b[None]))[0, 0])
+    assert abs(iou) < 1e-5, iou
+
+
+@pytest.mark.parametrize("cx,cy", [(0.0, 0.0), (100.0, 100.0)])
+def test_corner_touching_boxes_zero_intersection(cx, cy):
+    a = _box(cx, cy, 1, 1, 0)
+    b = _box(cx + 1.0, cy + 1.0, 1, 1, 0)  # touch only at one corner
+    iou = float(pairwise_iou_bev(jnp.asarray(a[None]), jnp.asarray(b[None]))[0, 0])
+    assert abs(iou) < 1e-5, iou
+
+
+@pytest.mark.parametrize("cx,cy", [(0.0, 0.0), (100.0, 100.0)])
+def test_partial_edge_overlap_abutting(cx, cy):
+    """Boxes abutting along a PARTIAL shared edge segment still give inter 0."""
+    a = _box(cx, cy, 1, 1, 0)
+    b = _box(cx + 1.0, cy + 0.5, 1, 1, 0)  # shares only half the edge
+    iou = float(pairwise_iou_bev(jnp.asarray(a[None]), jnp.asarray(b[None]))[0, 0])
+    assert abs(iou) < 1e-5, iou
+
+
+@pytest.mark.parametrize("cx,cy", [(0.0, 0.0), (100.0, 100.0)])
+def test_identical_boxes_far_from_origin(cx, cy):
+    a = _box(cx, cy, 3.0, 1.5, 0.7)
+    iou = float(pairwise_iou_bev(jnp.asarray(a[None]), jnp.asarray(a[None]))[0, 0])
+    assert abs(iou - 1.0) < 1e-3
+
+
+def test_contained_sharing_edge():
+    """Small box inside a big one, sharing part of one edge (co-oriented
+    collinear case): intersection is the small box's full area."""
+    a = _box(0, 0, 4, 4, 0)
+    b = _box(1.5, 0, 1, 2, 0)  # right edge of b on right edge of a
+    ca = boxes_to_corners_bev(jnp.asarray(a[None]))
+    cb = boxes_to_corners_bev(jnp.asarray(b[None]))
+    inter = float(rotated_intersection_area(ca, cb)[0])
+    assert abs(inter - 2.0) < 1e-4, inter
+
+
 def test_iou3d_z_overlap():
     a = np.array([0, 0, 0.0, 2, 2, 2, 0], np.float32)
     b = np.array([0, 0, 1.0, 2, 2, 2, 0], np.float32)  # half z-overlap

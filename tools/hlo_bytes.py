@@ -137,7 +137,7 @@ def analyze(hlo_text: str, group: bool, top_n: int):
                       "bitcast"):
             continue
         b = shape_bytes(out_shape)
-        for tok in opnd_re.findall(args):
+        for tok in set(opnd_re.findall(args)):  # dedupe: same buffer read twice counts once
             if tok in def_shape:
                 b += shape_bytes(def_shape[tok])
         meta = _META_RE.search(ln)
