@@ -56,6 +56,17 @@ def a100_speed_of_light_fps(fl_frame=None, by_frame=None):
     return min(A100_PEAK_BW / by, A100_PEAK_FLOPS / fl)
 
 
+# Realistic-A100 band bracketing the reference's throughput (BASELINE.md
+# "realistic band"): the LOW end is the OpenPCDet-family literature
+# sec_per_example range on Waymo-scale transformer detectors (0.07-0.12 s
+# => 8-15 fps, upper end generous to the reference); the HIGH end is the
+# fp32 roofline of this very graph with eager-PyTorch bytes (fp32 doubles
+# activation bytes; 2039 GB/s / (2 x bytes/frame) ~= 40 fps) — an
+# unreachable-but-defensible ceiling. vs_baseline (the certified SOL lower
+# bound) and this band together BRACKET the true vs-A100 ratio.
+A100_REALISTIC_FPS_BAND = (8.0, 15.0)
+
+
 def make_waymo_scale_scene(max_voxels, grid, seed=0, batch=1):
     """~80k occupied voxels PER FRAME with LiDAR-like radial density falloff.
 
@@ -164,12 +175,16 @@ def check_variables_shape(variables, big_model, big_batch, train):
     return got == want
 
 
-def run_train(cfg, model, scenes, batch_size):
+def run_train(cfg, model, scenes, batch_size, emit_json=True, n_iter=12):
     """Full optimizer step (fwd + bwd + adam_onecycle update) at Waymo scale.
 
     The fused attention kernel runs under value_and_grad via its custom VJP;
     DropPath/dropout are live (train=True). Matches the reference's primary
     workload (ref: tools/train.py + train_utils.py:23-90 per-iter body).
+
+    With ``emit_json=False`` (the default bench invocation's train tail),
+    returns the measurements as a dict instead of printing its own JSON line
+    so the driver's single parsed line carries both inference AND training.
     """
     import jax
     import jax.numpy as jnp
@@ -203,7 +218,8 @@ def run_train(cfg, model, scenes, batch_size):
     params, batch_stats, opt_state, loss, _ = step(
         params, batch_stats, opt_state, sharded[0], jax.random.PRNGKey(2))
     l0 = float(np.asarray(loss))
-    print(f"# train compile+first step: {time.time() - t0:.1f}s "
+    t_train_compile = time.time() - t0
+    print(f"# train compile+first step: {t_train_compile:.1f}s "
           f"(loss={l0:.3f})", file=sys.stderr)
     assert np.isfinite(l0), f"non-finite train loss {l0}"
     for s in sharded[1:]:
@@ -230,7 +246,6 @@ def run_train(cfg, model, scenes, batch_size):
         except Exception as e:
             print(f"# train profiler trace failed: {e}", file=sys.stderr)
 
-    n_iter = 12
     t0 = time.time()
     sink = 0.0
     for i in range(n_iter):
@@ -242,14 +257,22 @@ def run_train(cfg, model, scenes, batch_size):
     print(f"# train steady-state: {dt * 1000:.1f} ms/step at batch "
           f"{batch_size} ({dt * 1000 / batch_size:.1f} ms/frame, "
           f"sink={sink:.3f})", file=sys.stderr)
-    print(json.dumps({
-        "metric": "train_step_ms_single_chip_batch%d" % batch_size,
-        "value": round(dt * 1000, 1),
-        "unit": "ms/step",
-        # train fps over the derived A100 inference speed-of-light bound —
-        # a floor, not a claim (BASELINE.md)
-        "vs_baseline": round((batch_size / dt) / a100_speed_of_light_fps(), 3),
-    }))
+    metrics = {
+        "train_ms_per_step": round(dt * 1000, 1),
+        "train_ms_per_frame": round(dt * 1000 / batch_size, 1),
+        "train_compile_s": round(t_train_compile, 1),
+    }
+    if emit_json:
+        print(json.dumps({
+            "metric": "train_step_ms_single_chip_batch%d" % batch_size,
+            "value": round(dt * 1000, 1),
+            "unit": "ms/step",
+            # train fps over the derived A100 inference speed-of-light bound
+            # — a floor, not a claim (BASELINE.md)
+            "vs_baseline": round(
+                (batch_size / dt) / a100_speed_of_light_fps(), 3),
+        }))
+    return metrics
 
 
 def main():
@@ -458,8 +481,12 @@ def main():
     sol = a100_speed_of_light_fps(
         cost["flops"] / batch_size if cost and cost["flops"] > 0 else None,
         cost["bytes"] / batch_size if cost and cost["bytes"] > 0 else None)
+    lo, hi = A100_REALISTIC_FPS_BAND
     print(f"# a100 speed-of-light bound: {sol:.1f} fps -> vs_baseline "
           f"{fps / sol:.3f} is a LOWER bound on the true ratio (BASELINE.md)",
+          file=sys.stderr)
+    print(f"# a100 realistic band: {lo:.0f}-{hi:.0f} fps -> "
+          f"{fps / hi:.2f}-{fps / lo:.2f}x realistic A100 (BASELINE.md)",
           file=sys.stderr)
     out = {
         "metric": "e2e_inference_fps_single_chip",
@@ -471,11 +498,31 @@ def main():
         # PyTorch reference, unavailable in this environment — BASELINE.md)
         "vs_baseline": round(fps / sol, 3),
         "a100_sol_fps_bound": round(sol, 1),
+        # fps over the documented realistic-A100 band (8-15 fps, BASELINE.md)
+        # — the other end of the bracket
+        "vs_baseline_realistic_band": [round(fps / hi, 2), round(fps / lo, 2)],
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["sync_ms_per_frame"] = round(dt_sync * 1000, 2)
         out["sync_ms_per_frame_median"] = round(dt_sync_med * 1000, 2)
+
+    # --- training tail (default ON; --no-train skips): the reference's
+    # PRIMARY workload is training (ref: tools/train.py:60), so the driver's
+    # single parsed JSON line carries the train step time too. Runs after
+    # the inference report is fully computed; any failure (e.g. HBM pressure
+    # from the resident inference executable) degrades to inference-only.
+    if "--no-train" not in sys.argv and "--batch1" not in sys.argv:
+        try:
+            del infer, infer_c, variables, o0, o1  # free HBM for the train step
+            for s in scenes:
+                s.update({k: jax.device_put(v) for k, v in add_synth_gt(
+                    {}, batch_size, seed=0).items()})
+            tm = run_train(cfg, model, scenes, batch_size,
+                           emit_json=False, n_iter=6)
+            out.update(tm)
+        except Exception as e:  # noqa: BLE001 — degrade, don't lose the line
+            print(f"# train tail failed: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

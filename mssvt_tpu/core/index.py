@@ -127,7 +127,8 @@ def lookup(index: VoxelIndex, query_keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(found, index.sorted_rows[pos], -1).astype(jnp.int32)
 
 
-def unique_compact_dense(keys: jnp.ndarray, capacity: int, n_cells: int):
+def unique_compact_dense(keys: jnp.ndarray, capacity: int, n_cells: int,
+                         return_ranks: bool = False):
     """Sort-free :func:`unique_compact` for small, bounded key spaces.
 
     When every valid key lies in [0, n_cells) and n_cells is modest (window
@@ -160,6 +161,12 @@ def unique_compact_dense(keys: jnp.ndarray, capacity: int, n_cells: int):
     )[:capacity]
     out_valid = out_keys >= 0
     out_keys = jnp.where(out_valid, out_keys, INVALID_KEY)
+    if return_ranks:
+        # per-INPUT-key row in the compacted output (ascending-key order),
+        # -1 for invalid keys and capacity overflow — the voxel→window-row
+        # map, a free byproduct of the dedup (window.py compact box tables)
+        ranks = jnp.where(valid & (krank < capacity), krank, -1)
+        return out_keys, out_valid, num_unique, ranks
     return out_keys, out_valid, num_unique
 
 

@@ -480,9 +480,14 @@ class MsSVTCompressBlock(nn.Module):
     def __call__(self, sp: SparseVoxels, deterministic: bool = True) -> SparseVoxels:
         x = self.norm1(sp.features)
 
-        win_coords, win_valid, win_grid, num_win = window_partition(
+        # return_ranks: each voxel's row in the compacted window list — lets
+        # the single-scale gather build its box table COMPACTLY per window
+        # instead of over the dense cell grid (944 MB physical at Waymo
+        # scale for this block; see ops/window.py compact branch)
+        win_coords, win_valid, win_grid, num_win, vrow = window_partition(
             sp.coords, sp.valid, sp.spatial_shape, self.win1,
             self.max_windows * sp.batch_size, batch_size=sp.batch_size,
+            return_ranks=True,
         )
         nv = jnp.minimum(num_win, self.max_windows * sp.batch_size)
         # training: also emit the voxel→(window, slot) inverse so the key
@@ -492,7 +497,7 @@ class MsSVTCompressBlock(nn.Module):
             win_coords, win_valid, sp.coords, sp.valid, sp.spatial_shape,
             self.win1, self.tables, max_num_win1=self.cap1,
             batch_size=sp.batch_size, return_inverse=not deterministic,
-            num_valid=nv,
+            num_valid=nv, voxel_win_row=vrow,
         )
         k = g["win1"]
         inv = g.get("inv_win1")

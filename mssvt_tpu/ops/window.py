@@ -213,6 +213,7 @@ def window_partition(
     win_size,
     max_windows: int,
     batch_size: Optional[int] = None,
+    return_ranks: bool = False,
 ):
     """Deduplicate non-empty windows into a fixed-capacity buffer.
 
@@ -233,13 +234,22 @@ def window_partition(
     div = jnp.asarray([1, wz, wy, wx], jnp.int32)
     wcoords = coords // div  # batch col divided by 1
     wkeys = linearize_coords(wcoords, win_grid, valid)
+    ranks = None
     if batch_size is not None:
         n_cells = batch_size * win_grid[0] * win_grid[1] * win_grid[2]
-        out_keys, out_valid, num_windows = unique_compact_dense(
-            wkeys, max_windows, n_cells)
-    else:  # unknown batch bound → generic sort-based dedup
+        if return_ranks:
+            out_keys, out_valid, num_windows, ranks = unique_compact_dense(
+                wkeys, max_windows, n_cells, return_ranks=True)
+        else:
+            out_keys, out_valid, num_windows = unique_compact_dense(
+                wkeys, max_windows, n_cells)
+    else:  # unknown batch bound → generic sort-based dedup (no cheap ranks)
         out_keys, out_valid, num_windows = unique_compact(wkeys, max_windows)
     win_coords = delinearize_key(out_keys, win_grid)
+    if return_ranks:
+        # ranks: (V,) row of each voxel's window in win_coords (-1 dropped) —
+        # a free byproduct of the dense dedup; None on the sort fallback
+        return win_coords, out_valid, win_grid, num_windows, ranks
     return win_coords, out_valid, win_grid, num_windows
 
 
@@ -399,7 +409,7 @@ def _fill_mode() -> str:
 def _gather_via_own_cells(
     win_coords, win_valid, coords, valid, win_grid, win1_size,
     tables: QueryTables, caps, names, batch_size: int,
-    return_inverse: bool, mode: str, num_valid=None,
+    return_inverse: bool, mode: str, num_valid=None, voxel_win_row=None,
 ):
     """Neighbor-row formulation of the mixed-scale gather.
 
@@ -445,7 +455,27 @@ def _gather_via_own_cells(
     lid = ((coords[:, 3] % wx) * wy + (coords[:, 2] % wy)) * wz \
         + (coords[:, 1] % wz)  # (V,) in-cell local id
 
-    if run_base is not None:
+    if tables.single_scale and voxel_win_row is not None:
+        # --- COMPACT single-scale formulation: windows ARE the cells
+        # (D = 1, the gather box is the window itself), and the caller
+        # supplies each voxel's row in the compacted window list (a free
+        # byproduct of window_partition's dedup cumsum). Scatter each voxel
+        # straight into its window's row — box rows align with win_coords
+        # rows by construction, so the dense (n_cells, cv) cell table (at
+        # the first compress block: 1.84M cells x 128 padded lanes = 944 MB
+        # physical, xplane fusion.69 ~3.8 ms/step, where nw = 64k) and its
+        # nw-row gather disappear entirely. Voxels whose window overflowed
+        # max_windows carry row -1 and are dropped — identical to the dense
+        # path, where their table rows were simply never gathered.
+        own_key = linearize_coords(coords // div, win_grid, valid)
+        inv_win_key = linearize_coords(win_coords, win_grid, win_valid)
+        row_safe = jnp.where(voxel_win_row >= 0, voxel_win_row,
+                             nw + jnp.arange(v, dtype=jnp.int32))
+        box_d = jnp.full((nw, cv), -1, jnp.int32).at[row_safe, lid].set(
+            jnp.arange(v, dtype=jnp.int32), mode="drop", unique_indices=True)
+        box_d = box_d[:, None, :]  # (nw, D=1, cv)
+        d = 1
+    elif run_base is not None:
         # --- run-gather formulation. The standard (z-innermost) cell key
         # layout puts dy±1 neighbors z_max rows apart, so the box table
         # needed one row-gather descriptor PER DELTA at cv ints/row (288 B
@@ -520,7 +550,13 @@ def _gather_via_own_cells(
         # every gathered row one aligned burst (the slow, random part). The
         # optimization_barrier pins the padded materialization so XLA can't
         # fuse the compacting slice back into the gather (which would shrink
-        # slice_sizes back to the misaligned cv form).
+        # slice_sizes back to the misaligned cv form). (An r5 A/B of a
+        # power-of-2 pad measured WORSE — sync 45.5 -> 46.4 ms/frame: TPU
+        # (8,128) tiling pads the minor dim to 128 lanes physically anyway,
+        # so sub-128 logical widths save no HBM and only perturb fusion.
+        # The compress blocks' 8x table inflation is solved structurally
+        # instead: single-scale blocks take the compact voxel_win_row path
+        # below and never build this dense cell table.)
         cv_pad = -(-cv * 4 // 512) * 512 // 4
         pad_on = (cv_pad != cv
                   and os.environ.get("MSSVT_BOX_PAD", "1") == "1")
@@ -585,7 +621,7 @@ def _gather_via_own_cells(
                 inv_win_key, win_valid, own_key, lid, valid,
                 (box >= 0).astype(jnp.float32), tables, k_total, n_cells,
                 nw, int(caps["win1"]), int(caps["win1"]),
-                rank_own=rank_own)
+                rank_own=rank_own, win_row_v=voxel_win_row)
         return out
 
     if cnt is not None:
@@ -611,7 +647,7 @@ def _gather_via_own_cells(
 
 def _own_cell_inverse(win_key, win_valid, own_key, lid, valid,
                       occf, tables, k_total, n_cells, nw, cap1, cap2,
-                      rank_own=None):
+                      rank_own=None, win_row_v=None):
     """voxel -> (window row, win1 slot) inverse map.
 
     win1 cells precede all win2-only cells in table order, so a voxel's
@@ -626,13 +662,14 @@ def _own_cell_inverse(win_key, win_valid, own_key, lid, valid,
     ``win_key`` and ``own_key`` must share ONE cell-key layout (standard or
     y-innermost — the caller computed both).
     """
-    wsafe = jnp.where(win_key != INVALID_KEY, win_key,
-                      n_cells + 1 + jnp.arange(nw, dtype=jnp.int32))
-    cell_rows = jnp.full((n_cells + 1 + nw,), -1, jnp.int32).at[
-        wsafe].set(jnp.arange(nw, dtype=jnp.int32), mode="drop",
-                   unique_indices=True)
-    own_cell = jnp.where(own_key != INVALID_KEY, own_key, n_cells)
-    win_row_v = cell_rows[own_cell]  # (V,) -1 if window dropped
+    if win_row_v is None:
+        wsafe = jnp.where(win_key != INVALID_KEY, win_key,
+                          n_cells + 1 + jnp.arange(nw, dtype=jnp.int32))
+        cell_rows = jnp.full((n_cells + 1 + nw,), -1, jnp.int32).at[
+            wsafe].set(jnp.arange(nw, dtype=jnp.int32), mode="drop",
+                       unique_indices=True)
+        own_cell = jnp.where(own_key != INVALID_KEY, own_key, n_cells)
+        win_row_v = cell_rows[own_cell]  # (V,) -1 if window dropped
     order = tables.inv_src
     if rank_own is not None:
         # the fill kernel already emitted the rank slab at the own-cell
@@ -678,6 +715,9 @@ def gather_window_voxels(
     buffers: Optional[Tuple[str, ...]] = None,
     return_inverse: bool = False,
     num_valid=None,
+    voxel_win_row=None,  # (V,) row of each voxel's window (window_partition
+    #                      return_ranks); enables the compact single-scale
+    #                      box build (no dense cell table)
 ):
     """Gather voxel rows + relative grid coords for every window, all scales.
 
@@ -734,7 +774,7 @@ def gather_window_voxels(
         return _gather_via_own_cells(
             win_coords, win_valid, coords, valid, win_grid, win1_size,
             tables, caps, names, batch_size, return_inverse, mode,
-            num_valid=num_valid)
+            num_valid=num_valid, voxel_win_row=voxel_win_row)
 
     ws = jnp.asarray(ws_np)
     vox_xyz = coords[:, [3, 2, 1]]

@@ -48,7 +48,8 @@ def _ensure_refpcdet():
     # Bypassing them keeps imports scoped to the single oracle file under
     # test; leaf modules still execute their real source.
     for sub in ("models", "models.backbones_3d", "models.detectors",
-                "models.dense_heads", "models.roi_heads"):
+                "models.dense_heads", "models.roi_heads",
+                "models.backbones_2d", "models.backbones_2d.map_to_bev"):
         shell = types.ModuleType(f"refpcdet.{sub}")
         shell.__path__ = [f"{REF_ROOT}/{sub.replace('.', '/')}"]
         shell.__package__ = f"refpcdet.{sub}"
