@@ -83,6 +83,15 @@ import os as _os
 ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "b3d")
 # Supertile width override for A/B runs (0 = use the call-site default).
 ATTN_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0"))
+# The ASSEMBLED (inference-only) kernel picks its own point: qstk@64 beat
+# b3d@32 17.85 -> 14.91 ms/kernel at block-0 Waymo shapes
+# (tools/bench_attn_kernel.py, 2026-08-21 — the head-stacked M=H*nq score
+# dot fills all 128 sublanes where b3d's per-head M=nq=32 uses a quarter);
+# wb=128 exceeds the 16 MB scoped-VMEM limit. MSSVT_ATTN_VARIANT/_WB still
+# override for A/B.
+ATTN_ASM_VARIANT = _os.environ.get(
+    "MSSVT_ATTN_VARIANT", _os.environ.get("MSSVT_ATTN_VARIANT_ASM", "qstk"))
+ATTN_ASM_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0")) or 64
 # The backward kernel picks its own (variant, supertile) point: b3d@32 wins
 # the forward (3.6 vs 8.9 ms microbench; -8 ms e2e) but REGRESSED the full
 # train step 2557 -> 3076 ms (the recompute-in-VMEM backward holds per-head
@@ -808,7 +817,7 @@ def _attn_assembled_body(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
          + bv).astype(bf)
 
     bias3 = bias_ref[:][:, None, :].astype(jnp.float32)  # (wb, 1, nk_tot)
-    core = (_per_head_attn_qstk if ATTN_VARIANT == "qstk"
+    core = (_per_head_attn_qstk if ATTN_ASM_VARIANT == "qstk"
             else _per_head_attn_b3d)
     o, _ = core(q, k, v, bias3, num_heads, wb, nq, nk_tot,
                 float(scale), bf)
@@ -843,7 +852,7 @@ def fused_window_attention_assembled(
                              # k_mask1 then carries the PAD-pick mask
     num_valid: jnp.ndarray = None,  # () int32: count of live (prefix)
                              # windows; tail supertiles skip compute
-    window_block: int = 32,
+    window_block: int = 0,   # 0 = ATTN_ASM_WB default (see its A/B note)
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
@@ -862,7 +871,7 @@ def fused_window_attention_assembled(
     nk_tot = nk1 + nk2
     nq = int(nq) if q_prefix else q_ext.shape[1]
     assert nq > 0
-    wb = int(ATTN_WB or window_block)
+    wb = int(ATTN_WB or window_block or ATTN_ASM_WB)
     bf = compute_dtype
 
     pad = (-nw) % wb

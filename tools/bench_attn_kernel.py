@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REPS = 8  # kernel invocations per jitted call — amortizes the ~40-55 ms
+#           axon dispatch round-trip that would otherwise swamp the kernel
+
 
 def main():
     nw = int(sys.argv[sys.argv.index("--nw") + 1]) if "--nw" in sys.argv else 96000
@@ -32,7 +40,12 @@ def main():
 
     from mssvt_tpu.ops.pallas_attention import fused_window_attention_assembled
 
-    win1 = jnp.asarray(rng.standard_normal((nw, n1cap, d)), bf)
+    n_bufs = 4  # distinct win1 buffers so reps neither CSE nor add sweeps
+    base = jnp.asarray(
+        rng.standard_normal((nw, n1cap, d)).astype(np.float32), bf)
+    win1s = [jax.block_until_ready(jnp.roll(base, 17 * r, axis=0))
+             for r in range(n_bufs)]
+    del base
     k2 = jnp.asarray(rng.standard_normal((nw, nk2, d)), bf)
     fps1 = jnp.asarray(rng.integers(0, n1cap, (nw, nk1)), jnp.int32)
     km1 = jnp.asarray(rng.random((nw, nk1)) < 0.1)
@@ -53,22 +66,28 @@ def main():
     nv = jnp.asarray(nw, jnp.int32)
 
     @jax.jit
-    def run(win1, k2):
-        return fused_window_attention_assembled(
-            win1, k2, fps1, km1, q_ext, q_keep, k_rel, q_rel, pos_base,
-            pos_w, proj, bias, num_heads=num_heads, scale=0.125,
-            q_prefix=True, nq=nq, pad_row=pad_row, num_valid=nv)
+    def run(win1s, k2):
+        acc = 0.0
+        for r in range(REPS):
+            out = fused_window_attention_assembled(
+                win1s[r % n_bufs], k2, fps1, km1, q_ext, q_keep,
+                k_rel, q_rel, pos_base, pos_w, proj, bias,
+                num_heads=num_heads, scale=0.125,
+                q_prefix=True, nq=nq, pad_row=pad_row, num_valid=nv)
+            # cheap checksum: a row-strided slice keeps the call live without
+            # a full-output reduction sweep
+            acc = acc + jnp.abs(out[::512].astype(jnp.float32)).sum()
+        return acc
 
     t0 = time.time()
-    out = run(win1, k2)
-    s0 = float(jnp.abs(out).mean())
-    print(f"compile+first: {time.time() - t0:.1f}s mean={s0:.4f}")
+    s0 = float(run(win1s, k2))
+    print(f"compile+first: {time.time() - t0:.1f}s mean={s0 / REPS:.4f}")
     t0 = time.time()
     sink = 0.0
     for i in range(iters):
-        sink += float(jnp.abs(run(win1, k2)).mean())
-    dt = (time.time() - t0) / iters * 1000
-    print(f"steady: {dt:.2f} ms/call (nw={nw}, sink={sink:.3f})")
+        sink += float(run(win1s, k2))
+    dt = (time.time() - t0) / iters / REPS * 1000
+    print(f"steady: {dt:.2f} ms/kernel (nw={nw}, sink={sink:.3f})")
 
 
 if __name__ == "__main__":
