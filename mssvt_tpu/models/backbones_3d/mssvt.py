@@ -150,9 +150,13 @@ class MsSVTBlock(nn.Module):
         shortcut = sp.features  # (V, C)
         x = self.norm1(shortcut)
 
-        win_coords, win_valid, _, num_win = window_partition(
+        # return_ranks: voxel→window-row, free from the dedup cumsum — the
+        # inverse map then skips its cell_rows table + (V,) row gather
+        # (xplane: 2.4 ms/step per two-scale block at Waymo scale)
+        win_coords, win_valid, _, num_win, vrow = window_partition(
             sp.coords, sp.valid, sp.spatial_shape, self.win1,
             self.max_windows * sp.batch_size, batch_size=sp.batch_size,
+            return_ranks=True,
         )
         # live-window count for the kernels' data-dependent tail skip (valid
         # windows are a sorted prefix of the static capacity)
@@ -164,7 +168,7 @@ class MsSVTBlock(nn.Module):
             self.win1, self.tables, max_num_win1=self.cap1,
             max_num_win2=self.cap2, batch_size=sp.batch_size,
             buffers=need, return_inverse=self.use_feature_interpolation,
-            num_valid=nv,
+            num_valid=nv, voxel_win_row=vrow,
         )
         q = g[q_name]
         win1b, win2b = g["win1"], g["win2"]

@@ -641,7 +641,8 @@ def _gather_via_own_cells(
         out["inv_win1"] = _own_cell_inverse(
             inv_win_key, win_valid, own_key, lid, valid,
             (box >= 0).astype(jnp.float32), tables, k_total, n_cells,
-            nw, int(caps["win1"]), cap2, rank_own=rank_own)
+            nw, int(caps["win1"]), cap2, rank_own=rank_own,
+            win_row_v=voxel_win_row)
     return out
 
 
