@@ -96,7 +96,16 @@ def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
 
 
 def shard_batch_for_mesh(batch: dict, mesh: Mesh, batch_size: int) -> dict:
-    """Reshape a host batch to (n_dev, per_device, ...) and localize indices."""
+    """Reshape a host batch to (n_dev, per_device, ...), localize indices,
+    and PLACE the result on the mesh (leading axis sharded over "data").
+
+    The device placement is part of the contract: returning host numpy made
+    every train-step invocation re-upload the whole batch through the
+    dispatch path (~175 MB/step at Waymo batch 4 — xplane r5 showed the
+    train step's wall time at 4x its device time, the gap being exactly
+    this per-step host→device transfer). Callers that reuse batches across
+    steps (the bench, tests) now transfer once.
+    """
     n_dev = mesh.devices.size
     assert batch_size % n_dev == 0, (batch_size, n_dev)
     per_dev = batch_size // n_dev
@@ -118,7 +127,8 @@ def shard_batch_for_mesh(batch: dict, mesh: Mesh, batch_size: int) -> dict:
         elif v.ndim >= 1 and v.shape[0] == batch_size:
             v = v.reshape((n_dev, per_dev) + v.shape[1:])
         out[k] = v
-    return out
+    sharding = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(v, sharding) for k, v in out.items()}
 
 
 def make_sharded_train_step(model, tx, mesh: Mesh):
