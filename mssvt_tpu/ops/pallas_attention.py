@@ -80,7 +80,9 @@ import os as _os
 #  pipelined 46.31 vs 46.49 ms/frame. The kernel is HBM-bound, so MAC
 #  cuts don't move e2e time. See git history for the core.)
 # Selected once at import; override with MSSVT_ATTN_VARIANT for A/B runs.
-ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "b3d")
+# qstk default since r5: the non-assembled kernel now runs only on the
+# training forward, where qstk@32 measured 451.7 -> 446.2 ms/step.
+ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "qstk")
 # Supertile width override for A/B runs (0 = use the call-site default).
 ATTN_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0"))
 # The ASSEMBLED (inference-only) kernel picks its own point: qstk@64 beat
@@ -92,13 +94,17 @@ ATTN_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0"))
 ATTN_ASM_VARIANT = _os.environ.get(
     "MSSVT_ATTN_VARIANT", _os.environ.get("MSSVT_ATTN_VARIANT_ASM", "qstk"))
 ATTN_ASM_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0")) or 64
-# The backward kernel picks its own (variant, supertile) point: b3d@32 wins
-# the forward (3.6 vs 8.9 ms microbench; -8 ms e2e) but REGRESSED the full
-# train step 2557 -> 3076 ms (the recompute-in-VMEM backward holds per-head
-# (WB, nq, nk_tot) f32 attention maps — at WB=32 the working set crowds VMEM
-# and stalls the pipeline), so the backward stays on the flat mask form @ 8.
-ATTN_BWD_VARIANT = _os.environ.get("MSSVT_ATTN_BWD_VARIANT", "mask")
-ATTN_BWD_WB = int(_os.environ.get("MSSVT_ATTN_BWD_WB", "8"))
+# The backward kernel picks its own (variant, supertile) point. History:
+# b3d@32 regressed the r2-era train step 2557 -> 3076 ms (VMEM crowding at
+# WB=32), so rounds 2-4 ran flat mask@8 — whose (WB*nq, WB*nk) score dots
+# waste 7/8 of their MACs off the block diagonal. Re-measured 2026-08-21
+# after the batch-transfer fix exposed device time: b3d@16 takes the full
+# train step 526.1 -> 476.8 ms (block-0 bwd kernel was 79 ms/step of the
+# 494 ms device total at mask@8), and the query-stacked backward
+# (_bwd_qstk: the whole per-head chain as five batched dots at M=H*nq)
+# takes it to 451.7 ms — qstk@16 is the default.
+ATTN_BWD_VARIANT = _os.environ.get("MSSVT_ATTN_BWD_VARIANT", "qstk")
+ATTN_BWD_WB = int(_os.environ.get("MSSVT_ATTN_BWD_WB", "16"))
 
 
 def _per_head_attn_qstk(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale,
@@ -459,6 +465,15 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
          + bv).astype(bf)
     g_ref, dq_ref, dk_ref, dw_ref, db_ref = rest
 
+    if variant == "qstk":
+        # query-stacked backward: the whole per-head chain runs as FIVE
+        # batched dots at M = H*nq (full sublane occupancy), mirroring the
+        # qstk forward — vs 6 small dots PER HEAD in the b3d form
+        bias3 = bias_ref[:][:, None, :].astype(jnp.float32)
+        _bwd_qstk(q, k, v, bias3, g_ref[:].astype(bf), num_heads, wb, nq,
+                  nk_tot, float(scale), bf, qraw, kraw,
+                  (wq, wk, wv, wp), dq_ref, dk_ref, dw_ref, db_ref)
+        return
     if variant == "b3d":
         bias3 = bias_ref[:][:, None, :].astype(jnp.float32)
         o1, cache = _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq,
@@ -562,6 +577,93 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
         dv_p = jnp.concatenate(dv_parts, axis=1)  # (N, D)
     else:
         dq_p, dk_p, dv_p = dq_sum, dk_sum, dv_sum
+    _finish_bwd(qraw, kraw, q, wq, wk, wv, dq_p, dk_p, dv_p, dwp, dbp,
+                dq_ref, dk_ref, dw_ref, db_ref, bf)
+
+
+def _bwd_qstk(q, k, v, bias3, g, num_heads, wb, nq, nk_tot, scale, bf,
+              qraw, kraw, wmats, dq_ref, dk_ref, dw_ref, db_ref):
+    """Query-stacked attention backward (see _per_head_attn_qstk for the
+    stacking scheme). Recomputes the stacked attention map, then runs the
+    chain rule entirely in the stacked frame:
+
+      dv = a_stk^T @ do_stk   (contraction over rows sums the per-head
+                               a_t^T do_t terms exactly — rows of head t
+                               only pair with rows of head t)
+      ds = a * (da - rowsum(da * a)) * scale
+      dq = unstack-mask-sum(ds @ k);  dk = ds^T @ q_stk  (q_stk pre-masked)
+    """
+    wq, wk, wv, wp = wmats
+    d = q.shape[1]
+    tot_heads = sum(num_heads)
+    ph = d // tot_heads
+    nk = nk_tot // len(num_heads)
+    key_block = []
+    for gi, h in enumerate(num_heads):
+        key_block += [gi] * h
+    rows = tot_heads * nq
+    q3 = q.reshape(wb, nq, d)
+    k3 = k.reshape(wb, nk_tot, d)
+    v3 = v.reshape(wb, nk_tot, d)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    mhs = [((lane >= t * ph) & (lane < (t + 1) * ph)) for t in range(tot_heads)]
+    q_stk = jnp.concatenate([q3 * m.astype(bf) for m in mhs], axis=1)
+    s = jax.lax.dot_general(
+        q_stk, k3, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, rows, nk_tot)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (1, rows, nk_tot), 1) // nq
+    kg = jax.lax.broadcasted_iota(jnp.int32, (1, rows, nk_tot), 2) // nk
+    valid = None
+    for t, gi in enumerate(key_block):
+        vt = (rr == t) & (kg == gi)
+        valid = vt if valid is None else (valid | vt)
+    s = jnp.where(valid, s * scale + bias3, -1e9)
+    e = jnp.exp(s - jnp.max(s, axis=2, keepdims=True))
+    a = e / (jnp.sum(e, axis=2, keepdims=True) + 1e-30)  # (wb, rows, nk_tot)
+    ab = a.astype(bf)
+
+    # backprop through the output projection first: do1 = g @ wp^T
+    do1 = jax.lax.dot_general(
+        g, wp, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(bf)  # (wb*nq, d)
+    do3 = do1.reshape(wb, nq, d)
+    do_stk = jnp.concatenate([jnp.where(m, do3, 0).astype(bf) for m in mhs],
+                             axis=1)  # (wb, rows, d)
+    # o1 (for dwp): stacked value dot + unstack-mask-sum, as in the fwd
+    o_stk = jax.lax.dot_general(
+        ab, v3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, rows, d)
+    o_sum = None
+    for t, m in enumerate(mhs):
+        ot = jnp.where(m, o_stk[:, t * nq:(t + 1) * nq, :], 0.0)
+        o_sum = ot if o_sum is None else o_sum + ot
+    o1 = o_sum.reshape(wb * nq, d)
+    dwp = jax.lax.dot_general(
+        o1.astype(bf), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbp = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    da = jax.lax.dot_general(
+        do_stk, v3, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, rows, nk_tot)
+    dv3 = jax.lax.dot_general(
+        ab, do_stk, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, nk_tot, d)
+    rs = jnp.sum(da * a, axis=2, keepdims=True)
+    ds = (a * (da - rs) * scale).astype(bf)  # (wb, rows, nk_tot)
+    dq_stk = jax.lax.dot_general(
+        ds, k3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, rows, d)
+    dq_sum = None
+    for t, m in enumerate(mhs):
+        dt = jnp.where(m, dq_stk[:, t * nq:(t + 1) * nq, :], 0.0)
+        dq_sum = dt if dq_sum is None else dq_sum + dt
+    dk3 = jax.lax.dot_general(
+        ds, q_stk, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, nk_tot, d)
+    dq_p = dq_sum.reshape(wb * nq, d)
+    dk_p = dk3.reshape(wb * nk_tot, d)
+    dv_p = dv3.reshape(wb * nk_tot, d)
     _finish_bwd(qraw, kraw, q, wq, wk, wv, dq_p, dk_p, dv_p, dwp, dbp,
                 dq_ref, dk_ref, dw_ref, db_ref, bf)
 

@@ -229,7 +229,7 @@ def test_module_param_tree_identical_between_paths(monkeypatch):
 
 
 @pytest.mark.slow  # full-model CPU compile >15s
-@pytest.mark.parametrize("variant,wb", [("b3d", 2), ("b3d", 16), ("slice", 2)])
+@pytest.mark.parametrize("variant,wb", [("b3d", 2), ("b3d", 16), ("slice", 2), ("qstk", 2), ("qstk", 16)])
 def test_fused_kernel_grad_parity_bwd_variants(variant, wb, monkeypatch):
     """Grad parity for the env-selectable backward (variant, supertile)
     points — protects MSSVT_ATTN_BWD_VARIANT/WB A/B runs from silently
