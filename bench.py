@@ -278,6 +278,8 @@ def run_train(cfg, model, scenes, batch_size, emit_json=True, n_iter=12):
 def main():
     import jax
 
+    t_main0 = time.time()
+
     # Repo-local persistent compile cache. The heavyweight cost on the axon
     # platform is the SERVER-side TPU binary compile on first execution
     # (~180-240 s for the full model, measured 2026-08-19); a persistent-cache
@@ -512,7 +514,19 @@ def main():
     # single parsed JSON line carries the train step time too. Runs after
     # the inference report is fully computed; any failure (e.g. HBM pressure
     # from the resident inference executable) degrades to inference-only.
-    if "--no-train" not in sys.argv and "--batch1" not in sys.argv:
+    # Budget guard: the axon server-side compile is high-variance (measured
+    # 168-1100 s cold across r4/r5); if the inference path already burned
+    # most of a driver-scale budget, ship the inference JSON rather than risk
+    # the whole artifact on a second big compile. MSSVT_BENCH_BUDGET_S=0
+    # disables the guard.
+    budget_s = float(os.environ.get("MSSVT_BENCH_BUDGET_S", "1500"))
+    over_budget = budget_s > 0 and (time.time() - t_main0) > budget_s
+    if over_budget:
+        print(f"# train tail skipped: {time.time() - t_main0:.0f}s elapsed "
+              f"> {budget_s:.0f}s budget (cold-compile protection)",
+              file=sys.stderr)
+    if ("--no-train" not in sys.argv and "--batch1" not in sys.argv
+            and not over_budget):
         try:
             del infer, infer_c, variables, o0, o1  # free HBM for the train step
             for s in scenes:

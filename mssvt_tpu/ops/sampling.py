@@ -218,21 +218,85 @@ def three_interp_weights_planes(ux, uy, uz, kx, ky, kz, dtype=jnp.float32):
     d2 = jnp.maximum(u2[:, :, None] + k2[:, None, :] - 2.0 * cross, 0.0)
     m = kx.shape[1]
     k_eff = min(3, m)
-    work = d2
     lane = jnp.arange(m)
+    # one-pass top-3 is the default (A/B 2026-08-21: sync 43.2 -> 43.0,
+    # bytes 22.8 -> 22.5 GB/frame; exact parity incl. index tie-breaks);
+    # MSSVT_W3=iter restores the three-sweep form
+    if k_eff == 3 and os.environ.get("MSSVT_W3", "reduce") == "reduce":
+        picked = _top3_lex_reduce(d2)
+    else:
+        work = d2
+        picked = []
+        for _ in range(k_eff):
+            d_k = jnp.min(work, axis=-1, keepdims=True)  # (B, n, 1)
+            i_k = jnp.argmin(work, axis=-1)[..., None]  # ties → lowest index
+            picked.append((i_k, d_k))
+            work = jnp.where(lane == i_k, jnp.inf, work)
     w3 = jnp.zeros(d2.shape, dtype)
     wsum = jnp.zeros(d2.shape[:2] + (1,), d2.dtype)
-    picked = []
-    for _ in range(k_eff):
-        d_k = jnp.min(work, axis=-1, keepdims=True)  # (B, n, 1)
-        i_k = jnp.argmin(work, axis=-1)[..., None]  # ties → lowest index
+    weights = []
+    for i_k, d_k in picked:
         wgt = 1.0 / jnp.clip(jnp.sqrt(d_k), 1e-10, None)
-        picked.append((i_k, wgt))
+        weights.append((i_k, wgt))
         wsum = wsum + wgt
-        work = jnp.where(lane == i_k, jnp.inf, work)
-    for i_k, wgt in picked:
+    for i_k, wgt in weights:
         w3 = w3 + jnp.where(lane == i_k, wgt / wsum, 0.0).astype(dtype)
     return w3
+
+
+def _top3_lex_reduce(d2: jnp.ndarray):
+    """Top-3 smallest (distance, index) of ``d2`` along the last axis in ONE
+    variadic ``lax.reduce`` pass (vs three masked argmin sweeps, each of
+    which re-reads/recomputes the whole distance tensor).
+
+    Lexicographic (d, i) order with all indices distinct is total, so the
+    sorted-triple merge identities hold exactly and the result equals the
+    iterated lowest-index-tie-break argmin. Returns [(i1, d1), (i2, d2),
+    (i3, d3)] with the trailing keepdims axis, like the iterative path.
+    """
+    b, n, m = d2.shape
+    iota = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, n, m))
+    inf = jnp.full_like(d2, jnp.inf)
+    imax = jnp.full_like(iota, jnp.iinfo(jnp.int32).max)
+
+    def lex_lt(x, ix, y, iy):
+        return (x < y) | ((x == y) & (ix < iy))
+
+    def comb(a, bb):
+        a1, i1, a2, i2, a3, i3 = a
+        b1, j1, b2, j2, b3, j3 = bb
+
+        def sel(c, x, ix, y, iy):
+            return jnp.where(c, x, y), jnp.where(c, ix, iy)
+
+        c11 = lex_lt(a1, i1, b1, j1)
+        lo1, li1 = sel(c11, a1, i1, b1, j1)        # rank 1
+        hi1, hj1 = sel(c11, b1, j1, a1, i1)        # max(a1, b1)
+        c22 = lex_lt(a2, i2, b2, j2)
+        lo2, li2 = sel(c22, a2, i2, b2, j2)        # min(a2, b2)
+        cr2 = lex_lt(hi1, hj1, lo2, li2)
+        r2, ri2 = sel(cr2, hi1, hj1, lo2, li2)     # rank 2
+        # rank 3 = min(max(a1,b2), max(a2,b1), min(a3,b3))
+        cx = lex_lt(a1, i1, b2, j2)
+        x1, xi1 = sel(cx, b2, j2, a1, i1)
+        cy = lex_lt(a2, i2, b1, j1)
+        y1, yi1 = sel(cy, b1, j1, a2, i2)
+        cz = lex_lt(a3, i3, b3, j3)
+        z1, zi1 = sel(cz, a3, i3, b3, j3)
+        cxy = lex_lt(x1, xi1, y1, yi1)
+        xy, xyi = sel(cxy, x1, xi1, y1, yi1)
+        cr3 = lex_lt(xy, xyi, z1, zi1)
+        r3, ri3 = sel(cr3, xy, xyi, z1, zi1)
+        return lo1, li1, r2, ri2, r3, ri3
+
+    init = (jnp.asarray(jnp.inf, d2.dtype), jnp.asarray(jnp.iinfo(jnp.int32).max),
+            jnp.asarray(jnp.inf, d2.dtype), jnp.asarray(jnp.iinfo(jnp.int32).max),
+            jnp.asarray(jnp.inf, d2.dtype), jnp.asarray(jnp.iinfo(jnp.int32).max))
+    d1, i1, d2_, i2, d3, i3 = jax.lax.reduce(
+        (d2, iota, inf, imax, inf, imax), init, comb, (2,))
+    return [(i1[..., None], d1[..., None]),
+            (i2[..., None], d2_[..., None]),
+            (i3[..., None], d3[..., None])]
 
 
 def farthest_point_sample_masked(xyz: jnp.ndarray, valid: jnp.ndarray,
