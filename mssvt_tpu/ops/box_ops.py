@@ -34,23 +34,26 @@ def boxes_to_corners_bev(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 
-def _clipped_edge_cross_sum(poly_e: jnp.ndarray, poly_h: jnp.ndarray,
+def _clipped_edge_cross_sum(p0: jnp.ndarray, d: jnp.ndarray,
+                            h0: jnp.ndarray, he: jnp.ndarray,
                             bound: float) -> jnp.ndarray:
-    """Σ over poly_e's edges of cross(P1, P2) after clipping to poly_h.
+    """Σ over the (p0, d) edges of cross(P1, P2) after clipping to the
+    (h0, he) half-planes.
 
-    Each ccw edge of ``poly_e`` is restricted to the parameter interval
-    [t0, t1] where it satisfies all four ccw half-planes of ``poly_h``
-    (inside(x) = cross(h_edge, x - h0) >= bound); the retained sub-segment
-    contributes cross(P1, P2) to the shoelace sum about the origin.
-    ``bound`` = -EPS keeps boundary-coincident edges (closed interior),
-    +EPS drops them (open interior) — the A/B passes use opposite signs so
-    a shared boundary segment is counted exactly once.
+    Each ccw edge is restricted to the parameter interval [t0, t1] where it
+    satisfies all four ccw half-planes (inside(x) = cross(he, x - h0) >=
+    bound); the retained sub-segment contributes cross(P1, P2) to the
+    shoelace sum about the origin. ``bound`` = -EPS keeps
+    boundary-coincident edges (closed interior), +EPS drops them (open
+    interior) — the A/B passes use opposite signs so a shared boundary
+    segment is counted exactly once.
+
+    Edge vectors ``d``/``he`` arrive PRECOMPUTED (callers take the
+    roll-difference on the small per-box corner arrays BEFORE any pairwise
+    broadcast: on the 500-candidate NMS path the rolls otherwise run as
+    concatenates over (B, K, K, 4, 2) — six ~32 MB materializations per
+    IoU matrix, xplane 2026-08-21). All four operands broadcast together.
     """
-    p0 = poly_e  # (..., 4, 2)
-    d = jnp.roll(poly_e, -1, axis=-2) - poly_e
-    h0 = poly_h
-    he = jnp.roll(poly_h, -1, axis=-2) - poly_h
-
     # Running [t0, t1] over the 4 half-planes as an unrolled elementwise
     # chain on (..., 4 edges) planes. A broadcast (..., 4, 4) clip table +
     # axis reductions materializes ~16x the bytes at NMS pair counts — XLA
@@ -110,8 +113,26 @@ def rotated_intersection_area(ca: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
     # closed interior for the A pass, open for the B pass: a boundary
     # segment shared by both quads is counted exactly once (identical
     # boxes would otherwise sum their common boundary twice)
-    total = (_clipped_edge_cross_sum(ca, cb, -EPS)
-             + _clipped_edge_cross_sum(cb, ca, EPS))
+    da = jnp.roll(ca, -1, axis=-2) - ca
+    db = jnp.roll(cb, -1, axis=-2) - cb
+    total = (_clipped_edge_cross_sum(ca, da, cb, db, -EPS)
+             + _clipped_edge_cross_sum(cb, db, ca, da, EPS))
+    return 0.5 * jnp.abs(total)
+
+
+def _inter_area_pairwise(ca: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4, 2) x (M, 4, 2) → (N, M) intersection areas.
+
+    Same math as :func:`rotated_intersection_area`, but the per-box edge
+    vectors are computed BEFORE the pairwise broadcast and the operands
+    broadcast lazily as (N, 1, ...) x (1, M, ...) — no (N, M, 4, 2)
+    corner/edge tensors are ever materialized."""
+    da = jnp.roll(ca, -1, axis=-2) - ca
+    db = jnp.roll(cb, -1, axis=-2) - cb
+    ca_, da_ = ca[:, None], da[:, None]
+    cb_, db_ = cb[None], db[None]
+    total = (_clipped_edge_cross_sum(ca_, da_, cb_, db_, -EPS)
+             + _clipped_edge_cross_sum(cb_, db_, ca_, da_, EPS))
     return 0.5 * jnp.abs(total)
 
 
@@ -119,10 +140,7 @@ def pairwise_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     """(N, 7) x (M, 7) → (N, M) rotated BEV IoU (ref: iou3d_nms_kernel.cu:227-249)."""
     ca = boxes_to_corners_bev(boxes_a)  # (N, 4, 2)
     cb = boxes_to_corners_bev(boxes_b)  # (M, 4, 2)
-    n, m = boxes_a.shape[0], boxes_b.shape[0]
-    ca_b = jnp.broadcast_to(ca[:, None], (n, m, 4, 2))
-    cb_b = jnp.broadcast_to(cb[None, :], (n, m, 4, 2))
-    inter = rotated_intersection_area(ca_b, cb_b)
+    inter = _inter_area_pairwise(ca, cb)
     area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
     area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
     return inter / jnp.clip(area_a + area_b - inter, 1e-6, None)
@@ -132,11 +150,7 @@ def pairwise_iou_3d(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     """(N, 7) x (M, 7) → (N, M) 3D IoU with z-overlap (ref: iou3d_nms.cpp boxes_iou3d_gpu)."""
     ca = boxes_to_corners_bev(boxes_a)
     cb = boxes_to_corners_bev(boxes_b)
-    n, m = boxes_a.shape[0], boxes_b.shape[0]
-    inter_bev = rotated_intersection_area(
-        jnp.broadcast_to(ca[:, None], (n, m, 4, 2)),
-        jnp.broadcast_to(cb[None, :], (n, m, 4, 2)),
-    )
+    inter_bev = _inter_area_pairwise(ca, cb)
     za0 = boxes_a[:, 2] - boxes_a[:, 5] / 2
     za1 = boxes_a[:, 2] + boxes_a[:, 5] / 2
     zb0 = boxes_b[:, 2] - boxes_b[:, 5] / 2
