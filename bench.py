@@ -515,16 +515,19 @@ def main():
     # the inference report is fully computed; any failure (e.g. HBM pressure
     # from the resident inference executable) degrades to inference-only.
     # Budget guard: the axon server-side compile is high-variance (measured
-    # 168-1100 s cold across r4/r5); if the inference path already burned
-    # most of a driver-scale budget, ship the inference JSON rather than risk
-    # the whole artifact on a second big compile. MSSVT_BENCH_BUDGET_S=0
-    # disables the guard.
+    # 168-1100 s cold across r4/r5). The train step compiles a graph of the
+    # same scale, so predict its cost from the inference compile just
+    # observed; if elapsed + predicted train cost would blow a driver-scale
+    # budget, ship the inference JSON rather than risk the whole artifact on
+    # a second big compile. MSSVT_BENCH_BUDGET_S=0 disables the guard.
     budget_s = float(os.environ.get("MSSVT_BENCH_BUDGET_S", "1500"))
-    over_budget = budget_s > 0 and (time.time() - t_main0) > budget_s
+    predicted = (time.time() - t_main0) + t_first + 180.0
+    over_budget = budget_s > 0 and predicted > budget_s
     if over_budget:
-        print(f"# train tail skipped: {time.time() - t_main0:.0f}s elapsed "
-              f"> {budget_s:.0f}s budget (cold-compile protection)",
-              file=sys.stderr)
+        print(f"# train tail skipped: elapsed + predicted train cost "
+              f"{predicted:.0f}s > {budget_s:.0f}s budget "
+              f"(cold-compile protection; inference compile+first was "
+              f"{t_first:.0f}s)", file=sys.stderr)
     if ("--no-train" not in sys.argv and "--batch1" not in sys.argv
             and not over_budget):
         try:
