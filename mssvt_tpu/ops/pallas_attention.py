@@ -87,13 +87,18 @@ ATTN_VARIANT = _os.environ.get("MSSVT_ATTN_VARIANT", "qstk")
 ATTN_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0"))
 # The ASSEMBLED (inference-only) kernel picks its own point: qstk@64 beat
 # b3d@32 17.85 -> 14.91 ms/kernel at block-0 Waymo shapes
-# (tools/bench_attn_kernel.py, 2026-08-21 — the head-stacked M=H*nq score
-# dot fills all 128 sublanes where b3d's per-head M=nq=32 uses a quarter);
-# wb=128 exceeds the 16 MB scoped-VMEM limit. MSSVT_ATTN_VARIANT/_WB still
-# override for A/B.
+# (tools/bench_attn_kernel.py, 2026-08-21; those microbench absolutes are
+# ~2x optimistic — an XLA-CSE rep bug halved them, since fixed — but both
+# variants were halved equally and the full-model A/B confirmed the
+# direction: pipelined 38.2 -> 37.7 ms/frame). The head-stacked M=H*nq
+# score dot fills all 128 sublanes where b3d's per-head M=nq=32 uses a
+# quarter; wb=128 exceeds the 16 MB scoped-VMEM limit.
+# MSSVT_ATTN_VARIANT/_WB still override for A/B; a b3d override keeps the
+# historical @32 point so old numbers stay comparable.
 ATTN_ASM_VARIANT = _os.environ.get(
     "MSSVT_ATTN_VARIANT", _os.environ.get("MSSVT_ATTN_VARIANT_ASM", "qstk"))
-ATTN_ASM_WB = int(_os.environ.get("MSSVT_ATTN_WB", "0")) or 64
+ATTN_ASM_WB = (int(_os.environ.get("MSSVT_ATTN_WB", "0"))
+               or (64 if ATTN_ASM_VARIANT == "qstk" else 32))
 # The backward kernel picks its own (variant, supertile) point. History:
 # b3d@32 regressed the r2-era train step 2557 -> 3076 ms (VMEM crowding at
 # WB=32), so rounds 2-4 ran flat mask@8 — whose (WB*nq, WB*nk) score dots
@@ -132,12 +137,10 @@ def _per_head_attn_qstk(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale,
     k3 = k.reshape(wb, nk_tot, d)
     v3 = v.reshape(wb, nk_tot, d)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    mhs = [(lane >= t * ph) & (lane < (t + 1) * ph)
+           for t in range(tot_heads)]
     # stacked channel-masked queries: rows [t*nq, (t+1)*nq) hold head t
-    q_parts = []
-    for t in range(tot_heads):
-        mh = ((lane >= t * ph) & (lane < (t + 1) * ph)).astype(bf)
-        q_parts.append(q3 * mh)
-    q_stk = jnp.concatenate(q_parts, axis=1)  # (wb, rows, d)
+    q_stk = jnp.concatenate([q3 * m.astype(bf) for m in mhs], axis=1)
     s = jax.lax.dot_general(
         q_stk, k3, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (wb, rows, nk_tot)
@@ -154,11 +157,13 @@ def _per_head_attn_qstk(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale,
         a.astype(bf), v3, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (wb, rows, D)
     o_sum = None
-    for t in range(tot_heads):
-        mh = (lane >= t * ph) & (lane < (t + 1) * ph)
-        ot = jnp.where(mh, o_stk[:, t * nq:(t + 1) * nq, :], 0.0)
+    for t, m in enumerate(mhs):
+        ot = jnp.where(m, o_stk[:, t * nq:(t + 1) * nq, :], 0.0)
         o_sum = ot if o_sum is None else o_sum + ot
-    return o_sum.reshape(wb * nq, d), []
+    # cache: the stacked attention map + the operands _bwd_qstk reuses —
+    # ONE implementation of the stacking/mask/softmax scheme (the backward
+    # previously duplicated these ~25 lines)
+    return o_sum.reshape(wb * nq, d), [(a, q_stk, mhs)]
 
 
 def _per_head_attn_b3d(q, k, v, bias3, num_heads, wb, nq, nk_tot, scale, bf):
@@ -595,31 +600,12 @@ def _bwd_qstk(q, k, v, bias3, g, num_heads, wb, nq, nk_tot, scale, bf,
     """
     wq, wk, wv, wp = wmats
     d = q.shape[1]
-    tot_heads = sum(num_heads)
-    ph = d // tot_heads
-    nk = nk_tot // len(num_heads)
-    key_block = []
-    for gi, h in enumerate(num_heads):
-        key_block += [gi] * h
-    rows = tot_heads * nq
-    q3 = q.reshape(wb, nq, d)
+    # recompute the stacked forward through the SHARED qstk core — one
+    # implementation of the stacking/mask/softmax scheme for fwd and bwd
+    o1, ((a, q_stk, mhs),) = _per_head_attn_qstk(
+        q, k, v, bias3, num_heads, wb, nq, nk_tot, scale, bf)
     k3 = k.reshape(wb, nk_tot, d)
     v3 = v.reshape(wb, nk_tot, d)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
-    mhs = [((lane >= t * ph) & (lane < (t + 1) * ph)) for t in range(tot_heads)]
-    q_stk = jnp.concatenate([q3 * m.astype(bf) for m in mhs], axis=1)
-    s = jax.lax.dot_general(
-        q_stk, k3, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (wb, rows, nk_tot)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (1, rows, nk_tot), 1) // nq
-    kg = jax.lax.broadcasted_iota(jnp.int32, (1, rows, nk_tot), 2) // nk
-    valid = None
-    for t, gi in enumerate(key_block):
-        vt = (rr == t) & (kg == gi)
-        valid = vt if valid is None else (valid | vt)
-    s = jnp.where(valid, s * scale + bias3, -1e9)
-    e = jnp.exp(s - jnp.max(s, axis=2, keepdims=True))
-    a = e / (jnp.sum(e, axis=2, keepdims=True) + 1e-30)  # (wb, rows, nk_tot)
     ab = a.astype(bf)
 
     # backprop through the output projection first: do1 = g @ wp^T
@@ -629,16 +615,7 @@ def _bwd_qstk(q, k, v, bias3, g, num_heads, wb, nq, nk_tot, scale, bf,
     do3 = do1.reshape(wb, nq, d)
     do_stk = jnp.concatenate([jnp.where(m, do3, 0).astype(bf) for m in mhs],
                              axis=1)  # (wb, rows, d)
-    # o1 (for dwp): stacked value dot + unstack-mask-sum, as in the fwd
-    o_stk = jax.lax.dot_general(
-        ab, v3, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (wb, rows, d)
-    o_sum = None
-    for t, m in enumerate(mhs):
-        ot = jnp.where(m, o_stk[:, t * nq:(t + 1) * nq, :], 0.0)
-        o_sum = ot if o_sum is None else o_sum + ot
-    o1 = o_sum.reshape(wb * nq, d)
-    dwp = jax.lax.dot_general(
+    dwp = jax.lax.dot_general(  # o1^T @ g (o1 from the shared core)
         o1.astype(bf), g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbp = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)

@@ -467,8 +467,9 @@ def _gather_via_own_cells(
         # nw-row gather disappear entirely. Voxels whose window overflowed
         # max_windows carry row -1 and are dropped — identical to the dense
         # path, where their table rows were simply never gathered.
-        own_key = linearize_coords(coords // div, win_grid, valid)
-        inv_win_key = linearize_coords(win_coords, win_grid, win_valid)
+        # (cell keys are not needed on this path: the inverse map keys off
+        # voxel_win_row directly — see _own_cell_inverse win_row_v)
+        own_key = inv_win_key = None
         row_safe = jnp.where(voxel_win_row >= 0, voxel_win_row,
                              nw + jnp.arange(v, dtype=jnp.int32))
         box_d = jnp.full((nw, cv), -1, jnp.int32).at[row_safe, lid].set(

@@ -26,8 +26,11 @@ jax.config.update(
     str(Path(__file__).resolve().parent.parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REPS = 8  # kernel invocations per jitted call — amortizes the ~40-55 ms
-#           axon dispatch round-trip that would otherwise swamp the kernel
+REPS = 4  # kernel invocations per jitted call — amortizes the ~40-55 ms
+#           axon dispatch round-trip that would otherwise swamp the kernel.
+#           MUST equal n_bufs: XLA CSE merges pure pallas calls on identical
+#           inputs (verified in the optimized HLO), so extra reps over
+#           repeated buffers execute zero kernels and deflate ms/kernel.
 
 
 def main():
@@ -40,7 +43,7 @@ def main():
 
     from mssvt_tpu.ops.pallas_attention import fused_window_attention_assembled
 
-    n_bufs = 4  # distinct win1 buffers so reps neither CSE nor add sweeps
+    n_bufs = REPS  # distinct win1 buffers so reps neither CSE nor add sweeps
     base = jnp.asarray(
         rng.standard_normal((nw, n1cap, d)).astype(np.float32), bf)
     win1s = [jax.block_until_ready(jnp.roll(base, 17 * r, axis=0))
