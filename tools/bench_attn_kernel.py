@@ -6,7 +6,13 @@ q_prefix + ref-compat pad rows, full live prefix. Compiling just the kernel
 takes ~1 min instead of the ~6 min full-model server compile, so in-kernel
 variants (MSSVT_ATTN_VARIANT, MSSVT_ATTN_WB, ...) A/B in minutes.
 
-Usage: python tools/bench_attn_kernel.py [--nw 96000] [--iters 30]
+Usage: python tools/bench_attn_kernel.py [--nw 96000] [--nv N] [--iters 30]
+
+``--nv`` sets the live-window prefix for the data-dependent tail skip.
+The default matches the bench scene's measured block-0 occupancy (53,937
+of the 96,000 capacity — the in-model kernel runs ~0.56x the full-capacity
+cost because tail supertiles skip). Pass --nv equal to --nw for the
+worst case.
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ REPS = 4  # kernel invocations per jitted call — amortizes the ~40-55 ms
 
 def main():
     nw = int(sys.argv[sys.argv.index("--nw") + 1]) if "--nw" in sys.argv else 96000
+    nv_n = int(sys.argv[sys.argv.index("--nv") + 1]) if "--nv" in sys.argv else 53937
     iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 30
     n1cap, nk1, nk2, nq, d = 48, 32, 32, 32, 128
     num_heads = (2, 2)
@@ -66,7 +73,7 @@ def main():
     bias = jnp.asarray(np.where(rng.random((nw, nk1 + nk2)) < 0.1, -100.0, 0.0),
                        jnp.float32)
     pad_row = jnp.asarray(rng.standard_normal((nw, d)), bf)
-    nv = jnp.asarray(nw, jnp.int32)
+    nv = jnp.asarray(min(nv_n, nw), jnp.int32)
 
     @jax.jit
     def run(win1s, k2):
