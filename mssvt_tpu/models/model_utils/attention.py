@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.pallas_attention import (
-    fused_window_attention, fused_window_attention_assembled)
+    fused_window_attention,
+    fused_window_attention_assembled,
+    fused_window_attention_assembled_train,
+)
 
 KEY_PAD_NEG = -100.0
 
@@ -141,8 +144,18 @@ class MixedScaleAttention(nn.Module):
             # the existing fused/einsum paths.
             a = assembled
             nq_a = int(a["nq"])
+            # training rides the assembled kernel too (custom VJP with the
+            # in-VMEM assembly recompute — kills the ~30 ms/step of XLA-side
+            # concat/pos/mask sweeps the train xplane showed) when the
+            # ref-compat inputs it needs are present; dropout==0 keeps the
+            # attn/proj Dropout layers exact identities
+            train_kernel_ok = (
+                not deterministic
+                and a.get("pad1") is not None
+                and a.get("num_valid") is not None
+            )
             use_kernel = (
-                deterministic
+                (deterministic or train_kernel_ok)
                 and _use_fused_kernel(nq_a, deterministic,
                                       dropout=self.dropout)
             )
@@ -159,7 +172,9 @@ class MixedScaleAttention(nn.Module):
                 pad1 = a.get("pad1")
                 pad_row = a.get("pad_row")
                 zero_mask = a["k_mask1"] if pad1 is None else pad1
-                out = fused_window_attention_assembled(
+                attn_fn = (fused_window_attention_assembled if deterministic
+                           else fused_window_attention_assembled_train)
+                out = attn_fn(
                     a["win1_fea"], a["k2_fea"], a["fps1"], zero_mask,
                     q_ext, a["q_keep"], tuple(a["k_rel"]),
                     tuple(a["q_rel"]), a["pos_base"], a["pos_w"],

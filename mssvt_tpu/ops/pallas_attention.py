@@ -99,6 +99,9 @@ ATTN_ASM_VARIANT = _os.environ.get(
     "MSSVT_ATTN_VARIANT", _os.environ.get("MSSVT_ATTN_VARIANT_ASM", "qstk"))
 ATTN_ASM_WB = (int(_os.environ.get("MSSVT_ATTN_WB", "0"))
                or (64 if ATTN_ASM_VARIANT == "qstk" else 32))
+# The assembled BACKWARD holds the forward's working set plus the cotangent
+# slabs; wb=64 overflows the 16 MB scoped VMEM by ~0.7 MB, wb=32 fits.
+ATTN_ASM_BWD_WB = int(_os.environ.get("MSSVT_ATTN_ASM_BWD_WB", "32"))
 # The backward kernel picks its own (variant, supertile) point. History:
 # b3d@32 regressed the r2-era train step 2557 -> 3076 ms (VMEM crowding at
 # WB=32), so rounds 2-4 ran flat mask@8 — whose (WB*nq, WB*nk) score dots
@@ -586,22 +589,23 @@ def _attn_bwd_kernel(q_ref, k_ref, bias_ref, w_ref, b_ref, *rest,
                 dq_ref, dk_ref, dw_ref, db_ref, bf)
 
 
-def _bwd_qstk(q, k, v, bias3, g, num_heads, wb, nq, nk_tot, scale, bf,
-              qraw, kraw, wmats, dq_ref, dk_ref, dw_ref, db_ref):
-    """Query-stacked attention backward (see _per_head_attn_qstk for the
-    stacking scheme). Recomputes the stacked attention map, then runs the
-    chain rule entirely in the stacked frame:
+def _bwd_qstk_core(q, k, v, bias3, g, num_heads, wb, nq, nk_tot, scale, bf,
+                   wp):
+    """Query-stacked attention-core backward (see _per_head_attn_qstk for
+    the stacking scheme). Recomputes the stacked attention map through the
+    SHARED qstk forward, then runs the chain rule entirely in the stacked
+    frame:
 
       dv = a_stk^T @ do_stk   (contraction over rows sums the per-head
                                a_t^T do_t terms exactly — rows of head t
                                only pair with rows of head t)
       ds = a * (da - rowsum(da * a)) * scale
       dq = unstack-mask-sum(ds @ k);  dk = ds^T @ q_stk  (q_stk pre-masked)
-    """
-    wq, wk, wv, wp = wmats
+
+    Returns (dq_p, dk_p, dv_p, dwp, dbp) — the cotangents of the PROJECTED
+    q/k/v plus the output-projection grads. Shared by the plain and the
+    assembled backward kernels."""
     d = q.shape[1]
-    # recompute the stacked forward through the SHARED qstk core — one
-    # implementation of the stacking/mask/softmax scheme for fwd and bwd
     o1, ((a, q_stk, mhs),) = _per_head_attn_qstk(
         q, k, v, bias3, num_heads, wb, nq, nk_tot, scale, bf)
     k3 = k.reshape(wb, nk_tot, d)
@@ -641,6 +645,14 @@ def _bwd_qstk(q, k, v, bias3, g, num_heads, wb, nq, nk_tot, scale, bf,
     dq_p = dq_sum.reshape(wb * nq, d)
     dk_p = dk3.reshape(wb * nk_tot, d)
     dv_p = dv3.reshape(wb * nk_tot, d)
+    return dq_p, dk_p, dv_p, dwp, dbp
+
+
+def _bwd_qstk(q, k, v, bias3, g, num_heads, wb, nq, nk_tot, scale, bf,
+              qraw, kraw, wmats, dq_ref, dk_ref, dw_ref, db_ref):
+    wq, wk, wv, wp = wmats
+    dq_p, dk_p, dv_p, dwp, dbp = _bwd_qstk_core(
+        q, k, v, bias3, g, num_heads, wb, nq, nk_tot, scale, bf, wp)
     _finish_bwd(qraw, kraw, q, wq, wk, wv, dq_p, dk_p, dv_p, dwp, dbp,
                 dq_ref, dk_ref, dw_ref, db_ref, bf)
 
@@ -826,15 +838,19 @@ def _attn_assembled_kernel(*allrefs,
         out_dtype=out_dtype, compute_dtype=compute_dtype)
 
 
-def _attn_assembled_body(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
-                         qmask_ref, krx_ref, kry_ref, krz_ref,
-                         qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
-                         bias_ref, w_ref, b_ref, padrow_ref, o_ref, *,
-                         num_heads, wb, nq, n1cap, nk1, nk_tot, scale,
-                         q_prefix, out_dtype, compute_dtype):
+def _assemble_tokens(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
+                     qmask_ref, krx_ref, kry_ref, krz_ref,
+                     qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
+                     padrow_ref, *, wb, nq, n1cap, nk1, nk_tot, q_prefix,
+                     bf, d):
+    """Shared K/Q assembly for the assembled forward AND backward kernels.
+
+    Returns (win1, q3, k3, oh, padm, zq, zk, keep): the assembled token
+    slabs plus everything the backward needs to re-split cotangents —
+    the one-hot pick matrix, the pad-pick mask, the PRE-relu pos
+    activations (relu backward masks), and the query keep mask.
+    """
     has_pad_row = padrow_ref is not None
-    bf = compute_dtype
-    d = w_ref.shape[-1]
     win1 = win1_ref[:].reshape(wb, n1cap, d)          # (wb, n1cap, D) bf16
     k2 = k2_ref[:].reshape(wb, nk_tot - nk1, d)
 
@@ -852,6 +868,7 @@ def _attn_assembled_body(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
     k1 = jax.lax.dot_general(
         oh, win1, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(bf)  # (wb, nk1, D)
+    padm = None
     if has_pad_row:
         # minor-dim insert on the int32 mask (Mosaic: bf16 minor inserts
         # are unsupported), cast after
@@ -866,22 +883,39 @@ def _attn_assembled_body(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
     w2 = posw_ref[2:3, :].astype(bf)
     base = base_ref[:].astype(bf)[:, None, :]          # (wb, 1, D)
 
-    def pos(rx, ry, rz):
-        return jnp.maximum(
-            rx[:, :, None].astype(bf) * w0[None]
-            + ry[:, :, None].astype(bf) * w1[None]
-            + rz[:, :, None].astype(bf) * w2[None]
-            + base, 0.0)
+    def pre(rx, ry, rz):
+        return (rx[:, :, None].astype(bf) * w0[None]
+                + ry[:, :, None].astype(bf) * w1[None]
+                + rz[:, :, None].astype(bf) * w2[None]
+                + base)
 
-    k_pos = pos(krx_ref[:], kry_ref[:], krz_ref[:])    # (wb, nk_tot, D)
-    q_pos = pos(qrx_ref[:], qry_ref[:], qrz_ref[:])    # (wb, nq, D)
+    zk = pre(krx_ref[:], kry_ref[:], krz_ref[:])       # (wb, nk_tot, D)
+    zq = pre(qrx_ref[:], qry_ref[:], qrz_ref[:])       # (wb, nq, D)
 
-    k3 = jnp.concatenate([k1, k2], axis=1) + k_pos.astype(bf)
+    k3 = jnp.concatenate([k1, k2], axis=1) + jnp.maximum(zk, 0.0).astype(bf)
     if q_prefix:
         q_raw = win1[:, :nq]
     else:
         q_raw = qext_ref[:].reshape(wb, nq, d)
-    q3 = q_raw * qmask_ref[:][:, :, None].astype(bf) + q_pos.astype(bf)
+    keep = qmask_ref[:][:, :, None].astype(bf)
+    q3 = q_raw * keep + jnp.maximum(zq, 0.0).astype(bf)
+    return win1, q3, k3, oh, padm, zq, zk, keep
+
+
+def _attn_assembled_body(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
+                         qmask_ref, krx_ref, kry_ref, krz_ref,
+                         qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
+                         bias_ref, w_ref, b_ref, padrow_ref, o_ref, *,
+                         num_heads, wb, nq, n1cap, nk1, nk_tot, scale,
+                         q_prefix, out_dtype, compute_dtype):
+    bf = compute_dtype
+    d = w_ref.shape[-1]
+    _, q3, k3, _, _, _, _, _ = _assemble_tokens(
+        win1_ref, k2_ref, fps_ref, km1_ref, qext_ref, qmask_ref,
+        krx_ref, kry_ref, krz_ref, qrx_ref, qry_ref, qrz_ref,
+        base_ref, posw_ref, padrow_ref,
+        wb=wb, nq=nq, n1cap=n1cap, nk1=nk1, nk_tot=nk_tot,
+        q_prefix=q_prefix, bf=bf, d=d)
 
     q2 = q3.reshape(wb * nq, d)
     k2f = k3.reshape(wb * nk_tot, d)
@@ -1054,3 +1088,375 @@ def fused_window_attention_assembled(
             interpret=interpret,
         )(*args)
     return out.reshape(nwp, nq, d)[:nw]
+
+
+# ---------------------------------------------------------------------------
+# Assembled-inputs TRAINABLE variant: custom VJP with a mirrored Pallas
+# backward that recomputes the in-VMEM assembly (via _assemble_tokens) and
+# the qstk core, then re-splits the cotangents through the assembly —
+# training stops paying the ~30 ms/step of XLA-side K/Q concat/pos/mask
+# sweeps the inference kernel already fused away (train xplane 2026-08-21).
+#
+# Cotangent contract: rel-coordinate planes, masks, fps picks, key_bias and
+# q_keep get ZERO cotangents. In the MsSVT block every one of these derives
+# from integer voxel coordinates (grads die at the int cast anyway), so the
+# zeros are exact for the model; do NOT reuse this wrapper somewhere rel
+# planes are themselves learned.
+# ---------------------------------------------------------------------------
+
+
+def _zero_ct(x):
+    """Zero cotangent with the tangent dtype JAX expects (float0 for
+    integer/bool primals)."""
+    if (jnp.issubdtype(x.dtype, jnp.integer)
+            or jnp.issubdtype(x.dtype, jnp.bool_)):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return jnp.zeros_like(x)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
+def _asm_attn_train(win1_fea, k2_fea, q_ext, pos_base, pos_w, proj, pad_row,
+                    fps1, k_mask1, q_keep, k_rel, q_rel, key_bias, num_valid,
+                    num_heads, scale, q_prefix, nq, window_block,
+                    compute_dtype, interpret):
+    return fused_window_attention_assembled(
+        win1_fea, k2_fea, fps1, k_mask1, q_ext, q_keep, k_rel, q_rel,
+        pos_base, pos_w, proj, key_bias, num_heads=num_heads, scale=scale,
+        q_prefix=q_prefix, nq=nq, pad_row=pad_row, num_valid=num_valid,
+        window_block=window_block, compute_dtype=compute_dtype,
+        interpret=interpret)
+
+
+def _asm_attn_train_fwd(win1_fea, k2_fea, q_ext, pos_base, pos_w, proj,
+                        pad_row, fps1, k_mask1, q_keep, k_rel, q_rel,
+                        key_bias, num_valid, num_heads, scale, q_prefix, nq,
+                        window_block, compute_dtype, interpret):
+    out = _asm_attn_train(
+        win1_fea, k2_fea, q_ext, pos_base, pos_w, proj, pad_row, fps1,
+        k_mask1, q_keep, k_rel, q_rel, key_bias, num_valid,
+        num_heads, scale, q_prefix, nq, window_block, compute_dtype,
+        interpret)
+    res = (win1_fea, k2_fea, q_ext, pos_base, pos_w, proj, pad_row, fps1,
+           k_mask1, q_keep, k_rel, q_rel, key_bias, num_valid)
+    return out, res
+
+
+def _asm_attn_train_bwd(num_heads, scale, q_prefix, nq, window_block,
+                        compute_dtype, interpret, res, g):
+    (win1_fea, k2_fea, q_ext, pos_base, pos_w, proj, pad_row, fps1,
+     k_mask1, q_keep, k_rel, q_rel, key_bias, num_valid) = res
+    dwin1, dk2, dqext, dpad, dbase, dposw, dproj = \
+        _asm_attn_bwd_impl(
+            win1_fea, k2_fea, q_ext, pos_base, pos_w, proj, pad_row, fps1,
+            k_mask1, q_keep, k_rel, q_rel, key_bias, num_valid, g,
+            num_heads=num_heads, scale=scale, q_prefix=q_prefix, nq=nq,
+            window_block=window_block, compute_dtype=compute_dtype,
+            interpret=interpret)
+    zeros = jax.tree_util.tree_map(_zero_ct,
+                                   (fps1, k_mask1, q_keep, k_rel, q_rel,
+                                    key_bias, num_valid))
+    return (dwin1, dk2, dqext, dbase, dposw, dproj, dpad) + zeros
+
+
+_asm_attn_train.defvjp(_asm_attn_train_fwd, _asm_attn_train_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "q_prefix", "nq", "window_block",
+                     "interpret", "compute_dtype"),
+)
+def fused_window_attention_assembled_train(
+    win1_fea, k2_fea, fps1, k_mask1, q_ext, q_keep, k_rel, q_rel,
+    pos_base, pos_w, proj, key_bias, num_heads, scale, q_prefix,
+    nq: int = 0, pad_row=None, num_valid=None, window_block: int = 0,
+    interpret: bool = False, compute_dtype=jnp.bfloat16,
+):
+    """Differentiable assembled window attention (same contract as
+    :func:`fused_window_attention_assembled`) with a mirrored Pallas
+    backward. Requires ``pad_row`` and ``num_valid`` (the MsSVT block's
+    ref-compat training configuration always has both). See the cotangent
+    contract note above — masks/rels/picks get zeros."""
+    assert pad_row is not None and num_valid is not None
+    return _asm_attn_train(
+        win1_fea, k2_fea, q_ext, pos_base, pos_w, tuple(proj), pad_row,
+        fps1, k_mask1, q_keep, tuple(k_rel), tuple(q_rel), key_bias,
+        jnp.asarray(num_valid, jnp.int32),
+        tuple(num_heads), float(scale), bool(q_prefix), int(nq),
+        int(window_block), compute_dtype, bool(interpret))
+
+
+def _asm_attn_bwd_impl(win1_fea, k2_fea, q_ext, pos_base, pos_w, proj,
+                       pad_row, fps1, k_mask1, q_keep, k_rel, q_rel,
+                       key_bias, num_valid, g, *, num_heads, scale,
+                       q_prefix, nq, window_block, compute_dtype,
+                       interpret=False):
+    nw, n1cap, d = win1_fea.shape
+    nk1 = fps1.shape[1]
+    nk2 = k2_fea.shape[1]
+    nk_tot = nk1 + nk2
+    nq = int(nq) if q_prefix else q_ext.shape[1]
+    wb = ATTN_ASM_BWD_WB  # own supertile: the bwd working set is ~2x the fwd
+    bf = compute_dtype
+
+    pad = (-nw) % wb
+
+    def prow(x, val=0):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=val) if pad else x
+
+    win1p = prow(win1_fea.astype(bf))
+    k2p = prow(k2_fea.astype(bf))
+    fpsp = prow(fps1)
+    km1p = prow(k_mask1.astype(jnp.int32), val=1)
+    qxp = prow(q_ext.astype(bf))
+    qkp = prow(q_keep.astype(jnp.float32))
+    krel = tuple(prow(p.astype(jnp.float32)) for p in k_rel)
+    qrel = tuple(prow(p.astype(jnp.float32)) for p in q_rel)
+    basep = prow(pos_base.astype(bf))
+    biasp = prow(key_bias.astype(jnp.float32))
+    padp = prow(pad_row.astype(bf))
+    gp = prow(g.astype(bf)).reshape((nw + pad) * nq, d)
+    nwp = nw + pad
+
+    wq, bq, wk, bk, wv, bv, wp, bp = proj
+    wmats = jnp.stack([wq, wk, wv, wp]).astype(bf)
+    bvec = jnp.pad(jnp.stack([bq, bk, bv, bp]).astype(bf), ((0, 4), (0, 0)))
+    posw = jnp.pad(pos_w.astype(bf), ((0, 5), (0, 0)))
+    nqx = qxp.shape[1]
+
+    kernel = functools.partial(
+        _attn_assembled_bwd_kernel, num_heads=tuple(num_heads), wb=wb,
+        nq=nq, n1cap=n1cap, nk1=nk1, nk_tot=nk_tot, scale=float(scale),
+        q_prefix=bool(q_prefix), has_nv=True, compute_dtype=bf)
+
+    def _blk(i, nv):
+        return jnp.minimum(i, jnp.maximum((nv[0] + wb - 1) // wb - 1, 0))
+    row = lambda r: pl.BlockSpec((wb * r, d), lambda i, nv: (_blk(i, nv), 0),
+                                 memory_space=pltpu.VMEM)
+    pln = lambda c: pl.BlockSpec((wb, c), lambda i, nv: (_blk(i, nv), 0),
+                                 memory_space=pltpu.VMEM)
+    const2 = lambda a, b_: pl.BlockSpec((a, b_), lambda i, nv: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    const3 = pl.BlockSpec((4, d, d), lambda i, nv: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    orow = lambda r: pl.BlockSpec((wb * r, d), lambda i, nv: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = [
+        row(n1cap), row(nk2), pln(nk1), pln(nk1), row(nqx), pln(nq),
+        pln(nk_tot), pln(nk_tot), pln(nk_tot),
+        pln(nq), pln(nq), pln(nq),
+        row(1), const2(8, d), pln(nk_tot), const3, const2(8, d),
+        row(1),  # pad_row
+        orow(nq),  # g: OWN block index (cotangents are per-tile outputs)
+    ]
+    out_specs = [
+        orow(n1cap), orow(nk2), orow(nqx), orow(1), orow(1),
+        const2(8, d), const3, const2(8, d),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nwp * n1cap, d), win1_fea.dtype),
+        jax.ShapeDtypeStruct((nwp * nk2, d), k2_fea.dtype),
+        jax.ShapeDtypeStruct((nwp * nqx, d), q_ext.dtype),
+        jax.ShapeDtypeStruct((nwp, d), pad_row.dtype),
+        jax.ShapeDtypeStruct((nwp, d), pos_base.dtype),
+        jax.ShapeDtypeStruct((8, d), jnp.float32),
+        jax.ShapeDtypeStruct((4, d, d), jnp.float32),
+        jax.ShapeDtypeStruct((8, d), jnp.float32),
+    ]
+    args = [win1p.reshape(nwp * n1cap, d), k2p.reshape(nwp * nk2, d),
+            fpsp, km1p, qxp.reshape(nwp * nqx, d), qkp,
+            krel[0], krel[1], krel[2], qrel[0], qrel[1], qrel[2],
+            basep, posw, biasp, wmats, bvec, padp, gp]
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nwp // wb,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+        ),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(jnp.asarray(num_valid, jnp.int32).reshape(1), *args)
+    dwin1, dk2, dqext, dpad, dbase, dposw, dw, db = outs
+    dwin1 = dwin1.reshape(nwp, n1cap, d)[:nw]
+    dk2 = dk2.reshape(nwp, nk2, d)[:nw]
+    dqext = dqext.reshape(nwp, nqx, d)[:nw]
+    dpad = dpad[:nw]
+    dbase = dbase[:nw]
+    dproj = (
+        dw[0].astype(wq.dtype), db[0].astype(bq.dtype),
+        dw[1].astype(wk.dtype), db[1].astype(bk.dtype),
+        dw[2].astype(wv.dtype), db[2].astype(bv.dtype),
+        dw[3].astype(wp.dtype), db[3].astype(bp.dtype),
+    )
+    return (dwin1, dk2, dqext, dpad, dbase,
+            dposw[:3].astype(pos_w.dtype), dproj)
+
+
+def _attn_assembled_bwd_kernel(*allrefs, num_heads, wb, nq, n1cap, nk1,
+                               nk_tot, scale, q_prefix, has_nv,
+                               compute_dtype):
+    if has_nv:
+        nv_ref, *allrefs = allrefs
+    (win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
+     qmask_ref, krx_ref, kry_ref, krz_ref,
+     qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
+     bias_ref, w_ref, b_ref, padrow_ref, g_ref,
+     dwin1_ref, dk2_ref, dqext_ref, dpad_ref, dbase_ref,
+     dposw_ref, dw_ref, db_ref) = allrefs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_acc():
+        dposw_ref[:] = jnp.zeros_like(dposw_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    live = (pl.program_id(0) * wb < nv_ref[0]) if has_nv else True
+
+    @pl.when(live)
+    def _run():
+        _attn_assembled_bwd_body(
+            win1_ref, k2_ref, fps_ref, km1_ref, qext_ref, qmask_ref,
+            krx_ref, kry_ref, krz_ref, qrx_ref, qry_ref, qrz_ref,
+            base_ref, posw_ref, bias_ref, w_ref, b_ref, padrow_ref, g_ref,
+            dwin1_ref, dk2_ref, dqext_ref, dpad_ref, dbase_ref,
+            dposw_ref, dw_ref, db_ref,
+            num_heads=num_heads, wb=wb, nq=nq, n1cap=n1cap, nk1=nk1,
+            nk_tot=nk_tot, scale=scale, q_prefix=q_prefix,
+            compute_dtype=compute_dtype)
+
+    if has_nv:
+        @pl.when(jnp.logical_not(live))
+        def _skip():
+            dwin1_ref[:] = jnp.zeros_like(dwin1_ref)
+            dk2_ref[:] = jnp.zeros_like(dk2_ref)
+            dqext_ref[:] = jnp.zeros_like(dqext_ref)
+            dpad_ref[:] = jnp.zeros_like(dpad_ref)
+            dbase_ref[:] = jnp.zeros_like(dbase_ref)
+
+
+def _attn_assembled_bwd_body(win1_ref, k2_ref, fps_ref, km1_ref, qext_ref,
+                             qmask_ref, krx_ref, kry_ref, krz_ref,
+                             qrx_ref, qry_ref, qrz_ref, base_ref, posw_ref,
+                             bias_ref, w_ref, b_ref, padrow_ref, g_ref,
+                             dwin1_ref, dk2_ref, dqext_ref, dpad_ref,
+                             dbase_ref, dposw_ref, dw_ref, db_ref, *,
+                             num_heads, wb, nq, n1cap, nk1, nk_tot, scale,
+                             q_prefix, compute_dtype):
+    bf = compute_dtype
+    d = w_ref.shape[-1]
+    win1, q3, k3, oh, padm, zq, zk, keep = _assemble_tokens(
+        win1_ref, k2_ref, fps_ref, km1_ref, qext_ref, qmask_ref,
+        krx_ref, kry_ref, krz_ref, qrx_ref, qry_ref, qrz_ref,
+        base_ref, posw_ref, padrow_ref,
+        wb=wb, nq=nq, n1cap=n1cap, nk1=nk1, nk_tot=nk_tot,
+        q_prefix=q_prefix, bf=bf, d=d)
+
+    q2 = q3.reshape(wb * nq, d)
+    k2f = k3.reshape(wb * nk_tot, d)
+    wq, wk, wv, wp = (w_ref[i] for i in range(4))
+    bq, bk, bv, bp = (b_ref[i:i + 1, :] for i in range(4))
+    q = (jax.lax.dot(q2, wq, preferred_element_type=jnp.float32)
+         + bq).astype(bf)
+    k = (jax.lax.dot(k2f, wk, preferred_element_type=jnp.float32)
+         + bk).astype(bf)
+    v = (jax.lax.dot(k2f, wv, preferred_element_type=jnp.float32)
+         + bv).astype(bf)
+    bias3 = bias_ref[:][:, None, :].astype(jnp.float32)
+    g = g_ref[:].astype(bf)  # (wb*nq, d)
+
+    dq_p, dk_p, dv_p, dwp, dbp = _bwd_qstk_core(
+        q, k, v, bias3, g, num_heads, wb, nq, nk_tot, float(scale), bf, wp)
+
+    # projection backward (mirrors _finish_bwd, but the raw-token
+    # cotangents continue through the assembly instead of being written out)
+    dq_pb = dq_p.astype(bf)
+    dk_pb = dk_p.astype(bf)
+    dv_pb = dv_p.astype(bf)
+    dq3 = jax.lax.dot_general(
+        dq_pb, wq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(wb, nq, d)
+    dk3 = (jax.lax.dot_general(
+        dk_pb, wk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            dv_pb, wv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)).reshape(wb, nk_tot, d)
+    dwq = jax.lax.dot_general(
+        q2, dq_pb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwk = jax.lax.dot_general(
+        k2f, dk_pb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwv = jax.lax.dot_general(
+        k2f, dv_pb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbq = jnp.sum(dq_p, axis=0, keepdims=True)
+    dbk = jnp.sum(dk_p, axis=0, keepdims=True)
+    dbv = jnp.sum(dv_p, axis=0, keepdims=True)
+
+    dq3 = dq3.astype(bf)
+    dk3 = dk3.astype(bf)
+    dk1 = dk3[:, :nk1]
+    # pos backward: pos = relu(z); dz = dpos * (z > 0). Compare in f32 —
+    # Mosaic has no bf16 vector compare on this target.
+    dzk = jnp.where(zk.astype(jnp.float32) > 0, dk3, 0.0).astype(bf)
+    dzq = jnp.where(zq.astype(jnp.float32) > 0, dq3, 0.0).astype(bf)
+    dbase_ref[:] = (jnp.sum(dzk.astype(jnp.float32), axis=1)
+                    + jnp.sum(dzq.astype(jnp.float32), axis=1)
+                    ).astype(dbase_ref.dtype)
+
+    def _plane_row(rk, rq):
+        # Σ_{b,n} r[b,n] * dz[b,n,:] over keys + queries → (1, d).
+        # Per-window batched contraction over n, then a sublane reduce over
+        # the window axis (a (wb, n) -> (1, wb*n) flatten is a sublane->lane
+        # shape cast Mosaic cannot lower).
+        a = jax.lax.dot_general(
+            rk[:, None, :].astype(bf), dzk,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (wb, 1, d)
+        b_ = jax.lax.dot_general(
+            rq[:, None, :].astype(bf), dzq,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return jnp.sum(a[:, 0, :] + b_[:, 0, :], axis=0, keepdims=True)
+
+    r0 = _plane_row(krx_ref[:], qrx_ref[:])
+    r1 = _plane_row(kry_ref[:], qry_ref[:])
+    r2 = _plane_row(krz_ref[:], qrz_ref[:])
+    zero_row = jnp.zeros_like(r0)
+    dposw_step = jnp.concatenate(
+        [r0, r1, r2, zero_row, zero_row, zero_row, zero_row, zero_row],
+        axis=0)  # (8, d)
+
+    # k1 backward through the one-hot pick + pad row
+    dwin1 = jax.lax.dot_general(  # oh^T @ dk1 per window
+        oh, dk1, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (wb, n1cap, d)
+    if padm is not None:
+        dpad_ref[:] = jnp.sum(
+            (padm * dk1).astype(jnp.float32), axis=1).astype(dpad_ref.dtype)
+    else:
+        dpad_ref[:] = jnp.zeros_like(dpad_ref)
+
+    # q_raw backward: q3 = q_raw * keep + pos
+    dq_raw = (dq3 * keep).astype(jnp.float32)          # (wb, nq, d)
+    if q_prefix:
+        dwin1 = dwin1 + jnp.pad(
+            dq_raw, ((0, 0), (0, n1cap - nq), (0, 0)))
+        dqext_ref[:] = jnp.zeros_like(dqext_ref)
+    else:
+        dqext_ref[:] = dq_raw.reshape(
+            wb * nq, d).astype(dqext_ref.dtype)
+    dwin1_ref[:] = dwin1.reshape(wb * n1cap, d).astype(dwin1_ref.dtype)
+    dk2_ref[:] = dk3[:, nk1:].reshape(
+        wb * (nk_tot - nk1), d).astype(dk2_ref.dtype)
+
+    dw_ref[:] += jnp.stack([dwq, dwk, dwv, dwp])
+    zero = jnp.zeros_like(dbq)
+    db_ref[:] += jnp.concatenate(
+        [dbq, dbk, dbv, dbp, zero, zero, zero, zero], axis=0)
+    dposw_ref[:] += dposw_step

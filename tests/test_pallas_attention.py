@@ -326,3 +326,79 @@ def test_module_assembled_kernel_matches_fallback(monkeypatch, q_prefix,
                              assembled=asm))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
     assert np.all(got[np.asarray(qm)] == 0)
+
+
+@pytest.mark.parametrize("q_prefix", [True, False])
+def test_assembled_train_kernel_grad_parity(q_prefix):
+    """The trainable assembled kernel's custom VJP (in-VMEM assembly
+    recompute + qstk-core backward + cotangent re-split through the
+    assembly) must match autodiff through the pure-jnp assembly +
+    reference attention on every differentiable input."""
+    from mssvt_tpu.ops.pallas_attention import (
+        fused_window_attention_assembled_train)
+
+    rng = np.random.default_rng(3)
+    num_heads = (2, 2)
+    nw, n1cap, nk1, nk2, nq, d = 6, 12, 8, 8, 4, 64
+    nk_tot = nk1 + nk2
+    scale = (d // sum(num_heads)) ** -0.5
+
+    win1 = jnp.asarray(rng.normal(size=(nw, n1cap, d)).astype(np.float32))
+    k2f = jnp.asarray(rng.normal(size=(nw, nk2, d)).astype(np.float32))
+    fps1 = jnp.asarray(rng.integers(0, n1cap, (nw, nk1)), jnp.int32)
+    km1 = jnp.asarray(rng.random((nw, nk1)) < 0.25)
+    q_ext = (jnp.zeros((nw, 1, d), jnp.float32) if q_prefix
+             else jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32)))
+    q_keep = jnp.asarray((rng.random((nw, nq)) < 0.9).astype(np.float32))
+    k_rel = tuple(jnp.asarray(rng.normal(size=(nw, nk_tot)).astype(np.float32))
+                  for _ in range(3))
+    q_rel = tuple(jnp.asarray(rng.normal(size=(nw, nq)).astype(np.float32))
+                  for _ in range(3))
+    base = jnp.asarray(rng.normal(size=(nw, d)).astype(np.float32))
+    posw = jnp.asarray(rng.normal(size=(3, d)).astype(np.float32))
+    proj = tuple(jnp.asarray(p) for p in _rand_proj(rng, num_heads, d))
+    km = rng.random((nw, nk_tot)) < 0.2
+    bias = jnp.asarray(np.where(km, -100.0, 0.0).astype(np.float32))
+    pad_row = jnp.asarray(rng.normal(size=(nw, d)).astype(np.float32))
+    gout = jnp.asarray(rng.normal(size=(nw, nq, d)).astype(np.float32))
+    nv = jnp.asarray(nw, jnp.int32)
+
+    def loss_kernel(win1, k2f, q_ext, base, posw, proj, pad_row):
+        out = fused_window_attention_assembled_train(
+            win1, k2f, fps1, km1, q_ext, q_keep, k_rel, q_rel, base, posw,
+            proj, bias, num_heads=num_heads, scale=scale, q_prefix=q_prefix,
+            nq=nq, pad_row=pad_row, num_valid=nv, window_block=2,
+            interpret=True, compute_dtype=jnp.float32)
+        return jnp.sum(out * gout)
+
+    def loss_ref(win1, k2f, q_ext, base, posw, proj, pad_row):
+        # pure-jnp mirror of the in-kernel assembly (see _assemble_tokens)
+        take = jnp.take_along_axis(win1, fps1[..., None], axis=1)
+        k1 = (take * (~km1)[..., None]
+              + km1[..., None] * pad_row[:, None, :])
+
+        def pos(rel):
+            rx, ry, rz = rel
+            return jax.nn.relu(rx[..., None] * posw[0] + ry[..., None] * posw[1]
+                               + rz[..., None] * posw[2] + base[:, None, :])
+
+        keys = jnp.concatenate([k1, k2f], axis=1) + pos(k_rel)
+        q_raw = win1[:, :nq] if q_prefix else q_ext
+        query = q_raw * q_keep[..., None] + pos(q_rel)
+        return jnp.sum(_ref_full_jax(query, keys, proj, bias,
+                                     num_heads, scale) * gout)
+
+    args = (win1, k2f, q_ext, base, posw, proj, pad_row)
+    with jax.default_matmul_precision("float32"):
+        out_k = loss_kernel(*args)
+        out_r = loss_ref(*args)
+        gk = jax.grad(loss_kernel, argnums=tuple(range(7)))(*args)
+        gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(float(out_k), float(out_r), rtol=2e-4)
+    names = ["win1", "k2", "q_ext", "base", "posw", "proj", "pad_row"]
+    for name, a, b in zip(names, gk, gr):
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), atol=5e-3, rtol=5e-3,
+                err_msg=name)
